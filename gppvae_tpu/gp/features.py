@@ -1,0 +1,98 @@
+"""Covariance feature maps: object/view feature rows → low-rank V.
+
+Rebuild of the reference's covariance feature modules (SURVEY.md §2.1
+"Covariance feature modules"): learnable object features X ∈ R^{P×M} and view
+features W ∈ R^{Q×M_w}; the GP feature row of sample n with object d(n) and
+view q(n) is
+
+    v_n = x_{d(n)} ⊗ w_{q(n)}   ⇒   V Vᵀ = (X Xᵀ)_{d} ∘ (W Wᵀ)_{q}
+
+i.e. the object×view *product kernel* on the sample grid, realized at rank
+M·M_w without ever materializing the N×N kernel.
+
+View-kernel choices (SURVEY.md §2.3 item 5):
+  * learned linear W (GPPVAE-joint; face-view poses),
+  * fixed Fourier features of the rotation angle (GPPVAE-dis on rotated
+    digits) — [cos kθ, sin kθ]_k gives a periodic, translation-invariant
+    view kernel of rank 2·num_freqs (+1 with the constant term).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_rows(X: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Project feature rows to the unit sphere.
+
+    Keeps the object kernel a correlation-like kernel and prevents the
+    unidentifiable scale of X from fighting the explicit variance components
+    v_r during joint training. Applied to *learned* feature matrices only.
+    """
+    norm = jnp.sqrt(jnp.sum(jnp.square(X), axis=1, keepdims=True) + eps)
+    return X / norm
+
+
+def fourier_view_features(
+    angles: jax.Array,
+    num_freqs: int = 3,
+    include_const: bool = True,
+    dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """Fixed periodic view features for rotation angles (radians).
+
+    Returns (Q, M_w) with rows f(θ) ∝ [1, cos θ, sin θ, …, cos Kθ, sin Kθ],
+    scaled so ‖f(θ)‖ = 1 ⇒ the induced view kernel k(θ, θ') =
+    f(θ)·f(θ') is a normalized truncated-Fourier periodic kernel with
+    k(θ, θ) = 1. Used by GPPVAE-dis, where the view kernel is fixed
+    (BASELINE.json:8; SURVEY.md §2.3 item 5).
+    """
+    angles = jnp.asarray(angles, dtype=dtype)
+    if angles.ndim != 1:
+        raise ValueError(f"angles must be 1-D, got shape {angles.shape}")
+    feats = []
+    if include_const:
+        feats.append(jnp.ones_like(angles))
+    for k in range(1, num_freqs + 1):
+        feats.append(jnp.cos(k * angles))
+        feats.append(jnp.sin(k * angles))
+    W = jnp.stack(feats, axis=1)
+    return W / jnp.linalg.norm(W, axis=1, keepdims=True)
+
+
+def kron_rows(Xrows: jax.Array, Wrows: jax.Array) -> jax.Array:
+    """Row-wise Kronecker (Khatri–Rao) product.
+
+    Xrows: (n, M) object features gathered per sample; Wrows: (n, M_w) view
+    features per sample → (n, M·M_w) with row_i = Xrows_i ⊗ Wrows_i, so that
+    (kron_rows · kron_rowsᵀ) = (Xrows Xrowsᵀ) ∘ (Wrows Wrowsᵀ).
+    """
+    n, M = Xrows.shape
+    n2, Mw = Wrows.shape
+    if n != n2:
+        raise ValueError(f"row count mismatch: {n} vs {n2}")
+    return (Xrows[:, :, None] * Wrows[:, None, :]).reshape(n, M * Mw)
+
+
+def build_V(
+    X: jax.Array,
+    W: jax.Array,
+    object_ids: jax.Array,
+    view_ids: jax.Array,
+    *,
+    normalize_X: bool = True,
+    normalize_W: bool = False,
+) -> jax.Array:
+    """Gather per-sample object/view features and form V rows.
+
+    X: (P, M) object features; W: (Q, M_w) view features; object_ids /
+    view_ids: (n,) int32. Returns V: (n, M·M_w). Differentiable w.r.t. X and
+    W (gather + outer product), so minibatch GP-surrogate gradients flow to
+    the feature matrices exactly as in the reference's joint mode.
+    """
+    if normalize_X:
+        X = normalize_rows(X)
+    if normalize_W:
+        W = normalize_rows(W)
+    return kron_rows(X[object_ids], W[view_ids])

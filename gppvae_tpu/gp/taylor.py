@@ -1,0 +1,81 @@
+"""First-order Taylor surrogate of the full-dataset GP NLL.
+
+Rebuild of the reference's Taylor-coefficient machinery (SURVEY.md §3.2
+Phase B / §2.1 gp.py "taylor_coeff"). Once per epoch the full-dataset NLL
+nll(Z, V, θ) is evaluated at the refreshed latents Z₀ and current features
+V₀, and its exact first-order coefficients are extracted **by autodiff** (the
+reference hand-derives them — autodiff removes the survey's #2-ranked risk,
+"silently wrong Taylor coefficients still train", SURVEY.md §7).
+
+The surrogate distributes the full-data GP term over minibatches: for batch
+indices I with per-sample differentiable latents z_n(φ) and feature rows
+v_n(X, W),
+
+    gp_term(I) = Σ_{n∈I} ⟨dZ_n, z_n⟩ + Σ_{n∈I} ⟨dV_n, v_n⟩
+                 + (|I|/N)·⟨dθ, θ⟩                      (+ const/N·|I|)
+
+so that over one epoch (each sample visited once) the accumulated gradient
+equals the gradient of the exact full-dataset NLL at the expansion point.
+Variance-component coefficients dθ ride along at |I|/N weight since they do
+not decompose per sample.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TaylorCoefficients(NamedTuple):
+    """Expansion point value and exact gradients of the full-data GP NLL."""
+
+    value: jax.Array  # () nll at the expansion point
+    dZ: jax.Array  # (N, L) ∂nll/∂Z
+    dV: jax.Array  # (N, R) ∂nll/∂V  (single random effect; lists upstream)
+    daux: Any  # pytree: ∂nll/∂(variance raw params, …)
+
+
+def taylor_expand(
+    nll_fn: Callable[[jax.Array, jax.Array, Any], jax.Array],
+    Z0: jax.Array,
+    V0: jax.Array,
+    aux0: Any,
+) -> TaylorCoefficients:
+    """Evaluate nll_fn and its gradients at the expansion point.
+
+    nll_fn(Z, V, aux) must be the *exact* full-dataset Woodbury NLL
+    (gp.gp_nll_from_features composed with the variance transform). All
+    inputs are treated as free variables; jit this whole call.
+    """
+    value, (dZ, dV, daux) = jax.value_and_grad(nll_fn, argnums=(0, 1, 2))(Z0, V0, aux0)
+    return TaylorCoefficients(value=value, dZ=dZ, dV=dV, daux=daux)
+
+
+def surrogate_batch_term(
+    coeffs: TaylorCoefficients,
+    idx: jax.Array,
+    z_batch: jax.Array,
+    v_batch: jax.Array,
+    aux: Any,
+    num_total: int,
+) -> jax.Array:
+    """Per-minibatch GP loss term from the Taylor surrogate.
+
+    idx: (b,) dataset indices of the batch; z_batch: (b, L) differentiable
+    latents; v_batch: (b, R) differentiable feature rows; aux: the live
+    (differentiable) variance raw params. The coefficients are constants
+    (stop-gradient'd by construction — they were computed in a separate
+    trace), so d(term)/d(z_batch) = dZ[idx] exactly, etc.
+    """
+    dZb = jax.lax.stop_gradient(coeffs.dZ[idx])
+    dVb = jax.lax.stop_gradient(coeffs.dV[idx])
+    term = jnp.sum(dZb * z_batch) + jnp.sum(dVb * v_batch)
+    frac = idx.shape[0] / num_total
+    daux = jax.lax.stop_gradient(coeffs.daux)
+    aux_dot = sum(
+        jnp.vdot(g, a)
+        for g, a in zip(jax.tree.leaves(daux), jax.tree.leaves(aux), strict=True)
+    )
+    return term + frac * aux_dot

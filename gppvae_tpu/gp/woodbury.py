@@ -1,0 +1,148 @@
+"""Woodbury / matrix-determinant-lemma path for the low-rank GP prior.
+
+This is the TPU-native rebuild of the reference's GP module
+(pysrc/faceplace/gp.py — factor prep ("U_UBi_Shb"-style), `nll`, predictive
+posterior; SURVEY.md §3.3). The covariance
+
+    K = Σ_r v_r · V_r V_rᵀ + v_n · I_N
+
+is never materialized. With U = [√v_1·V_1 | … | √v_k·V_k] (N×R):
+
+    K        = U Uᵀ + v_n I
+    K⁻¹      = v_n⁻¹ I − v_n⁻² U B⁻¹ Uᵀ,     B = I_R + Uᵀ U / v_n
+    log|K|   = N·log v_n + log|B|             (matrix determinant lemma)
+    tr(Zᵀ K⁻¹ Z) = (‖Z‖_F² − ‖L_B⁻¹ Uᵀ Z‖_F² / v_n) / v_n
+    K⁻¹ Z    = (Z − U·(B⁻¹ Uᵀ Z)/v_n) / v_n
+    K(*,·) K⁻¹ Z = U* · (B⁻¹ Uᵀ Z) / v_n      (GP-predictive latent means)
+
+Cost: one N×R→R×R Gram, one N×L→R×L GEMM, one R×R Cholesky, fused
+reductions. O(N·R²+N·R·L) — the big GEMMs are the Pallas/MXU targets and are
+routed through `gppvae_tpu.ops`; the tiny R×R Cholesky stays on
+`jax.lax.linalg`.
+
+Everything is shape-static and jit-safe. dtype follows the inputs (tests run
+float64 on CPU; training runs float32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gppvae_tpu import ops
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+class GPFactors(NamedTuple):
+    """Woodbury factors of K = U Uᵀ + v_n I.
+
+    Attributes:
+      U:       (N, R) scaled feature rows [√v_r · V_r]_r concatenated.
+      Lb:      (R, R) lower Cholesky factor of B = I + Uᵀ U / v_n.
+      v_noise: () positive noise variance v_n.
+      logdet:  () log|K| = N log v_n + 2·Σ log diag(Lb).
+    """
+
+    U: jax.Array
+    Lb: jax.Array
+    v_noise: jax.Array
+    logdet: jax.Array
+
+
+def _scaled_features(Vs: Sequence[jax.Array], v_sigs: Sequence[jax.Array]) -> jax.Array:
+    parts = [jnp.sqrt(v) * V for V, v in zip(Vs, v_sigs, strict=True)]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def factorize(
+    Vs: Sequence[jax.Array] | jax.Array,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+    v_noise: jax.Array,
+) -> GPFactors:
+    """Prepare Woodbury factors for K = Σ_r v_r V_r V_rᵀ + v_n I."""
+    if isinstance(Vs, jax.Array) or not isinstance(Vs, (list, tuple)):
+        Vs = [Vs]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U = _scaled_features(Vs, [jnp.asarray(v) for v in v_sigs])
+    N, R = U.shape
+    G = ops.gram(U)  # (R, R) = Uᵀ U
+    B = jnp.eye(R, dtype=U.dtype) + G / v_noise
+    Lb = jax.lax.linalg.cholesky(B)
+    logdet = N * jnp.log(v_noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+    return GPFactors(U=U, Lb=Lb, v_noise=jnp.asarray(v_noise), logdet=logdet)
+
+
+def kinv_z_core(factors: GPFactors, Z: jax.Array) -> jax.Array:
+    """M = B⁻¹ Uᵀ Z / v_n, the (R, L) core of every K⁻¹-apply.
+
+    K⁻¹ Z = (Z − U M) / v_n and the predictive mean for rows with scaled
+    features U* is U* M.
+    """
+    UtZ = ops.matmul_tn(factors.U, Z)  # (R, L)
+    W = jax.scipy.linalg.solve_triangular(factors.Lb, UtZ, lower=True)
+    M = jax.scipy.linalg.solve_triangular(factors.Lb.T, W, lower=False)
+    return M / factors.v_noise
+
+
+def gp_nll(
+    Z: jax.Array,
+    factors: GPFactors,
+    *,
+    include_const: bool = True,
+) -> jax.Array:
+    """Exact negative log-likelihood of Z (iid columns) under N(0, K).
+
+    nll = ½ [ L·log|K| + tr(Zᵀ K⁻¹ Z) + N·L·log 2π ].
+    """
+    N, L = Z.shape
+    UtZ = ops.matmul_tn(factors.U, Z)  # (R, L)
+    W = jax.scipy.linalg.solve_triangular(factors.Lb, UtZ, lower=True)
+    znorm2, wnorm2 = ops.sqnorm(Z), ops.sqnorm(W)
+    quad = (znorm2 - wnorm2 / factors.v_noise) / factors.v_noise
+    nll = 0.5 * (L * factors.logdet + quad)
+    if include_const:
+        nll = nll + 0.5 * N * L * _LOG2PI
+    return nll
+
+
+def gp_nll_from_features(
+    Z: jax.Array,
+    Vs: Sequence[jax.Array] | jax.Array,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+    v_noise: jax.Array,
+    *,
+    include_const: bool = True,
+) -> jax.Array:
+    """One-shot NLL as a differentiable function of (Z, Vs, variances).
+
+    This is the function the first-order Taylor surrogate differentiates
+    (SURVEY.md §3.2 Phase B); grads w.r.t. every argument flow by autodiff —
+    no hand-derived coefficient formulas to get subtly wrong.
+    """
+    return gp_nll(Z, factorize(Vs, v_sigs, v_noise), include_const=include_const)
+
+
+def predict_latents(
+    V_star: Sequence[jax.Array] | jax.Array,
+    factors: GPFactors,
+    Z: jax.Array,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+) -> jax.Array:
+    """GP-predictive latent means for out-of-sample rows (SURVEY.md §3.4).
+
+    z* = K(*, train) K⁻¹ Z = U* · (B⁻¹ Uᵀ Z) / v_n, with U* the scaled
+    features of the held-out (object, view) pairs. Decoder(z*) is the
+    conditional generation from (object, view) alone — no encoder involved.
+    """
+    if isinstance(V_star, jax.Array) or not isinstance(V_star, (list, tuple)):
+        V_star = [V_star]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U_star = _scaled_features(V_star, [jnp.asarray(v) for v in v_sigs])
+    M = kinv_z_core(factors, Z)  # (R, L)
+    return U_star @ M

@@ -1,0 +1,37 @@
+"""Hot linear-algebra ops with switchable backends (XLA ↔ Pallas).
+
+The reference leans on cuBLAS/MAGMA through torch for its GP linear algebra
+(SURVEY.md §2.2); here every hot op goes through this dispatch layer so the
+GP math in `gppvae_tpu.gp` is backend-agnostic:
+
+  * 'xla'    — jax.numpy; XLA already lowers these to the MXU optimally for
+               most shapes. Always available; the correctness reference.
+  * 'pallas' — hand-tuned TPU kernels in gppvae_tpu/ops/pallas_*.py (tiled
+               Gram, fused squared-norm reductions, …) for the HBM-resident
+               N-sized operands of the GP phase.
+
+Select globally with `set_backend('pallas')`, per-call with `impl=`, or via
+the GPPVAE_OPS_BACKEND environment variable. Pallas kernels silently fall
+back to XLA for shapes/dtypes they do not cover (e.g. float64 in tests, tiny
+ranks) so the math layer never needs to care.
+"""
+
+from gppvae_tpu.ops.dispatch import (
+    get_backend,
+    set_backend,
+    use_backend,
+    gram,
+    matmul_tn,
+    matmul_nn,
+    sqnorm,
+)
+
+__all__ = [
+    "get_backend",
+    "set_backend",
+    "use_backend",
+    "gram",
+    "matmul_tn",
+    "matmul_nn",
+    "sqnorm",
+]

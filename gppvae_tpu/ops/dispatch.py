@@ -1,0 +1,112 @@
+"""Backend dispatch for the GP hot ops.
+
+XLA implementations live here (they are one-liners); Pallas implementations
+register themselves lazily from gppvae_tpu/ops/pallas_gram.py et al. to keep
+import time low and to avoid importing pallas on platforms without it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = os.environ.get("GPPVAE_OPS_BACKEND", "xla")
+_PALLAS_IMPLS: dict[str, Callable] = {}
+_PALLAS_LOADED = False
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown ops backend {name!r}; want 'xla' or 'pallas'")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+@contextlib.contextmanager
+def use_backend(name: str):
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
+
+
+def _load_pallas() -> None:
+    """Import the Pallas kernel modules once, on first 'pallas' dispatch."""
+    global _PALLAS_LOADED
+    if _PALLAS_LOADED:
+        return
+    _PALLAS_LOADED = True
+    try:
+        from gppvae_tpu.ops import pallas_gemm  # noqa: F401  (self-registers)
+    except Exception:  # pragma: no cover — platform without pallas support
+        pass
+
+
+def register_pallas(name: str, fn: Callable) -> None:
+    _PALLAS_IMPLS[name] = fn
+
+
+def _dispatch(name: str, xla_fn: Callable, impl: str | None, *args):
+    backend = impl or _BACKEND
+    if backend == "pallas":
+        _load_pallas()
+        fn = _PALLAS_IMPLS.get(name)
+        if fn is not None:
+            out = fn(*args)
+            if out is NotImplemented:  # kernel declined (shape/dtype/platform)
+                return xla_fn(*args)
+            return out
+    return xla_fn(*args)
+
+
+# ---------------------------------------------------------------- XLA impls
+
+
+def _xla_gram(U: jax.Array) -> jax.Array:
+    return jnp.dot(U.T, U, preferred_element_type=U.dtype)
+
+
+def _xla_matmul_tn(A: jax.Array, B: jax.Array) -> jax.Array:
+    return jnp.dot(A.T, B, preferred_element_type=A.dtype)
+
+
+def _xla_matmul_nn(A: jax.Array, B: jax.Array) -> jax.Array:
+    return jnp.dot(A, B, preferred_element_type=A.dtype)
+
+
+def _xla_sqnorm(X: jax.Array) -> jax.Array:
+    return jnp.sum(jnp.square(X))
+
+
+# ------------------------------------------------------------- public ops
+
+
+def gram(U: jax.Array, *, impl: str | None = None) -> jax.Array:
+    """Uᵀ U for tall-skinny U (N×R, N ≫ R). The Phase-B Gram (SURVEY §3.3)."""
+    return _dispatch("gram", _xla_gram, impl, U)
+
+
+def matmul_tn(A: jax.Array, B: jax.Array, *, impl: str | None = None) -> jax.Array:
+    """Aᵀ B with A: (N, R), B: (N, L) — the Uᵀ Z projection."""
+    return _dispatch("matmul_tn", _xla_matmul_tn, impl, A, B)
+
+
+def matmul_nn(A: jax.Array, B: jax.Array, *, impl: str | None = None) -> jax.Array:
+    """A B — predictive U*·M and K⁻¹-apply recombination."""
+    return _dispatch("matmul_nn", _xla_matmul_nn, impl, A, B)
+
+
+def sqnorm(X: jax.Array, *, impl: str | None = None) -> jax.Array:
+    """‖X‖_F² as a fused single-pass reduction."""
+    return _dispatch("sqnorm", _xla_sqnorm, impl, X)
