@@ -1,0 +1,10 @@
+"""Evaluation: out-of-sample conditional generation, MSE, image panels.
+
+Reference counterpart: callbacks.py + the out-of-sample eval inside
+train_gppvae.py (SURVEY.md §2.1, §3.4).
+"""
+
+from gppvae_tpu.eval.panels import save_panel
+from gppvae_tpu.eval.oos import oos_predict_images
+
+__all__ = ["save_panel", "oos_predict_images"]

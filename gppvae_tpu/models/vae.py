@@ -1,0 +1,103 @@
+"""Convolutional VAE encoder/decoder (flax.linen).
+
+TPU-first rebuild of the reference's conv VAE (pysrc/faceplace/vae.py,
+SURVEY.md §2.1): stride-2 conv stack → linear heads (z_mu, z_logvar);
+decoder mirrors it with resize+conv upsampling. Design notes:
+
+  * channels-last NHWC (XLA's native TPU conv layout), 3×3 kernels, stride-2
+    downsampling — everything lowers straight onto the MXU.
+  * upsampling is nearest-resize + conv rather than transposed conv:
+    identical expressiveness, no checkerboard artifacts, and a friendlier
+    XLA lowering than conv_transpose.
+  * `dtype` sets the activation/compute dtype (bfloat16 for speed on the
+    MXU); params stay float32; outputs are cast back to float32.
+  * decoder output is a logit image; the trainer applies a sigmoid for the
+    [0,1]-normalized datasets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """z = μ + exp(½ logvar)·ε, ε ~ N(0, I) (SURVEY.md §3.1 hot loop)."""
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    return mu + jnp.exp(0.5 * logvar) * eps
+
+
+class ConvEncoder(nn.Module):
+    """Stride-2 conv stack → flatten → (z_mu, z_logvar) heads."""
+
+    zdim: int
+    features: Sequence[int] = (32, 64, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> tuple[jax.Array, jax.Array]:
+        h = y.astype(self.dtype)
+        for f in self.features:
+            h = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(h)
+            h = nn.elu(h)
+        h = h.reshape(h.shape[0], -1)
+        h = nn.elu(nn.Dense(2 * self.zdim * 4, dtype=self.dtype)(h))
+        mu = nn.Dense(self.zdim, dtype=self.dtype, name="head_mu")(h)
+        logvar = nn.Dense(self.zdim, dtype=self.dtype, name="head_logvar")(h)
+        return mu.astype(jnp.float32), logvar.astype(jnp.float32)
+
+
+class ConvDecoder(nn.Module):
+    """Dense → reshape → (nearest-resize ×2 + conv) stack → logit image."""
+
+    image_shape: tuple[int, int, int]  # (H, W, C)
+    features: Sequence[int] = (128, 64, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        H, W, C = self.image_shape
+        depth = len(self.features)
+        h0, w0 = H // (2**depth), W // (2**depth)
+        if h0 * (2**depth) != H or w0 * (2**depth) != W:
+            raise ValueError(
+                f"image {H}×{W} not divisible by 2^{depth}; adjust features"
+            )
+        h = z.astype(self.dtype)
+        h = nn.elu(nn.Dense(h0 * w0 * self.features[0], dtype=self.dtype)(h))
+        h = h.reshape(h.shape[0], h0, w0, self.features[0])
+        for f in self.features:
+            b, hh, ww, cc = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
+            h = nn.elu(nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(h))
+        logits = nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return logits.astype(jnp.float32)
+
+
+class VAE(nn.Module):
+    """Encoder+decoder bundle; one params pytree for the --vae_weights handoff."""
+
+    zdim: int
+    image_shape: tuple[int, int, int]
+    enc_features: Sequence[int] = (32, 64, 128)
+    dec_features: Sequence[int] = (128, 64, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ConvEncoder(self.zdim, self.enc_features, self.dtype)
+        self.decoder = ConvDecoder(self.image_shape, self.dec_features, self.dtype)
+
+    def __call__(self, y: jax.Array, rng: jax.Array):
+        mu, logvar = self.encoder(y)
+        z = reparameterize(rng, mu, logvar)
+        return self.decoder(z), mu, logvar, z
+
+    def encode(self, y: jax.Array):
+        return self.encoder(y)
+
+    def decode(self, z: jax.Array):
+        return self.decoder(z)

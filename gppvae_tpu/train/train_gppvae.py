@@ -1,0 +1,448 @@
+"""GPPVAE training driver — the flagship loop (reference:
+pysrc/faceplace/train_gppvae.py + the fork's rotated-MNIST dis/joint
+variants; SURVEY.md §3.2; configs BASELINE.json:8-9).
+
+Epoch structure (all three phases jit'ed, dataset HBM-resident):
+
+  Phase A  full-latent refresh: grad-free encoder pass over every training
+           row → Z₀ (N×L latent means); V₀ = object⊗view feature rows.
+  Phase B  one exact low-rank GP solve: Woodbury NLL at (Z₀, V₀) and its
+           first-order Taylor coefficients by autodiff (gp.taylor_expand).
+  Phase C  minibatch scan: amortized inference (encode→sample→decode with
+           grads) + the Taylor surrogate of the GP term + encoder-entropy
+           pen term; separate Adam optimizers for VAE vs GP parameters.
+  Eval     out-of-sample conditional generation for held-out (object, view)
+           cells via GP-predictive latents; pixel MSE is the parity metric.
+
+Modes:
+  'dis'    fixed view kernel (Fourier features of the view angle); object
+           features X and variance components still learn (BASELINE.json:8).
+  'joint'  view features W learned too — the full GPPVAE-joint
+           (BASELINE.json:9).
+
+Loss convention (see train/losses.py): every term is a per-sample batch
+mean; the GP surrogate term divides `gp.surrogate_batch_term` by the batch
+size, which makes the epoch-accumulated GP gradient equal to (1/b)·∇NLL of
+the exact full-dataset NLL at the expansion point (property-tested).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gppvae_tpu import gp
+from gppvae_tpu.checkpoint import load_vae_weights, save_pytree
+from gppvae_tpu.data.dataset import GridDataset
+from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
+from gppvae_tpu.eval.panels import save_panel
+from gppvae_tpu.models import VAE, reparameterize
+from gppvae_tpu.parallel import replicated, row_sharding, shard_rows, trim_to_multiple
+from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
+from gppvae_tpu.utils import MetricsLogger, PhaseTimer
+
+
+@dataclasses.dataclass(frozen=True)
+class GPPVAETrainConfig:
+    mode: str = "joint"  # 'joint' | 'dis'
+    zdim: int = 16
+    epochs: int = 100
+    batch_size: int = 128
+    lr_vae: float = 2e-4
+    lr_gp: float = 1e-3
+    seed: int = 0
+    sigma_y: float = 0.1
+    # GP feature dims: object rank M, view rank M_w (R = M·M_w)
+    obj_feature_dim: int = 8
+    view_num_freqs: int = 3  # fixed Fourier view features → M_w = 2f+1
+    view_feature_dim: int | None = None  # learned W dim (joint); default 2f+1
+    init_v_sig: float = 1.0
+    init_v_noise: float = 0.5
+    enc_features: Sequence[int] = (32, 64, 128)
+    dec_features: Sequence[int] = (128, 64, 32)
+    compute_dtype: str = "float32"
+    vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
+    outdir: str | None = None
+    panel_every: int = 0
+    checkpoint_every: int = 0
+
+
+@dataclasses.dataclass
+class GPPVAETrainResult:
+    params: Any  # {'vae': …, 'gp': {'X','W'?,'log_vs','log_vn'}}
+    fixed_W: jax.Array | None  # the fixed view features in 'dis' mode
+    config: GPPVAETrainConfig
+    history: list[dict]
+    model: VAE
+
+
+def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
+    """Fixed Fourier features of the view angle when available, else a
+    deterministic random unit-row matrix. Returns (Q, M_w) float32."""
+    Q = dataset.num_views
+    aux = dataset.view_aux
+    if aux.shape[1] == 1:  # angle-like scalar aux → periodic Fourier features
+        return gp.fourier_view_features(
+            jnp.asarray(aux[:, 0]), num_freqs=config.view_num_freqs
+        ).astype(jnp.float32)
+    Mw = config.view_feature_dim or (2 * config.view_num_freqs + 1)
+    W = jax.random.normal(jax.random.PRNGKey(7), (Q, Mw), jnp.float32)
+    return gp.normalize_rows(W)
+
+
+def _gp_nll_fn(Z, V, aux):
+    """Exact full-data GP NLL as a function of the Taylor variables."""
+    return gp.gp_nll_from_features(
+        Z, V, jnp.exp(aux["log_vs"]), jnp.exp(aux["log_vn"])
+    )
+
+
+def _split_gp_aux(gp_params):
+    return {"log_vs": gp_params["log_vs"], "log_vn": gp_params["log_vn"]}
+
+
+def make_phase_a_fn(model: VAE):
+    """Grad-free full-train-set latent refresh (chunked scan keeps the
+    activation footprint constant regardless of N)."""
+
+    @partial(jax.jit, static_argnums=(2,))
+    def phase_a(vae_params, images_tr, chunk: int):
+        n = images_tr.shape[0]
+        pad = (-n) % chunk
+        padded = jnp.pad(images_tr, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        chunks = padded.reshape(-1, chunk, *images_tr.shape[1:])
+
+        def enc(_, y):
+            mu, _lv = model.apply(vae_params, y, method=VAE.encode)
+            return None, mu
+
+        _, Z = jax.lax.scan(enc, None, chunks)
+        return Z.reshape(-1, Z.shape[-1])[:n]
+
+    return phase_a
+
+
+def make_phase_b_fn():
+    @jax.jit
+    def phase_b(Z0, V0, aux0):
+        return gp.taylor_expand(_gp_nll_fn, Z0, V0, aux0)
+
+    return phase_b
+
+
+def make_phase_c_fn(
+    model: VAE, opt_vae, opt_gp, config: GPPVAETrainConfig, num_train: int,
+    mesh=None,
+):
+    bs = config.batch_size
+    nb = num_train // bs
+    if nb == 0:
+        raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+    learn_W = config.mode == "joint"
+    batch_sharding = row_sharding(mesh) if mesh is not None else None
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=())
+    def phase_c(params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
+                coeffs, epoch_key):
+        def minibatch_step(carry, xs):
+            params, ov_state, og_state = carry
+            pos, step_key = xs  # positions into the train arrays
+
+            def loss_fn(p):
+                y = images_tr[pos]
+                if batch_sharding is not None:
+                    # DP: split the gathered batch rows across the mesh so the
+                    # conv fwd/bwd shards over batch (grads psum automatically)
+                    y = jax.lax.with_sharding_constraint(y, batch_sharding)
+                mu, logvar = model.apply(p["vae"], y, method=VAE.encode)
+                z = reparameterize(step_key, mu, logvar)
+                logits = model.apply(p["vae"], z, method=VAE.decode)
+                recon, mse = gaussian_recon_nll(
+                    y, jax.nn.sigmoid(logits), config.sigma_y
+                )
+                W = p["gp"]["W"] if learn_W else fixed_W
+                v = gp.build_V(
+                    p["gp"]["X"], W, d_tr[pos], q_tr[pos],
+                    normalize_X=True, normalize_W=True,
+                )
+                aux = _split_gp_aux(p["gp"])
+                gp_term = (
+                    gp.surrogate_batch_term(coeffs, pos, z, v, aux, num_train) / bs
+                )
+                pen = jnp.mean(neg_entropy(logvar))
+                loss = jnp.mean(recon) + gp_term + pen
+                return loss, (jnp.mean(recon), gp_term, pen, jnp.mean(mse))
+
+            (loss, aux_m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            vae_updates, ov_state2 = opt_vae.update(
+                grads["vae"], ov_state, params["vae"]
+            )
+            gp_updates, og_state2 = opt_gp.update(grads["gp"], og_state, params["gp"])
+            params = {
+                "vae": optax.apply_updates(params["vae"], vae_updates),
+                "gp": optax.apply_updates(params["gp"], gp_updates),
+            }
+            return (params, ov_state2, og_state2), jnp.stack([loss, *aux_m])
+
+        perm = jax.random.permutation(epoch_key, num_train)[: nb * bs]
+        batches = perm.reshape(nb, bs)
+        step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
+        (params, ov_state, og_state), metrics = jax.lax.scan(
+            minibatch_step, (params, ov_state, og_state), (batches, step_keys)
+        )
+        return params, ov_state, og_state, jnp.mean(metrics, axis=0)
+
+    return phase_c
+
+
+def make_oos_fn(model: VAE, config: GPPVAETrainConfig):
+    learn_W = config.mode == "joint"
+
+    @jax.jit
+    def oos_eval(params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
+        W = params["gp"]["W"] if learn_W else fixed_W
+        X = params["gp"]["X"]
+        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
+        V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True)
+        v_sig = jnp.exp(params["gp"]["log_vs"])
+        v_noise = jnp.exp(params["gp"]["log_vn"])
+        factors = gp.factorize(V_tr, v_sig, v_noise)
+        decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
+        y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
+        return y_pred, pixel_mse(y_ho, y_pred)
+
+    return oos_eval
+
+
+def train_gppvae(
+    dataset: GridDataset,
+    config: GPPVAETrainConfig,
+    *,
+    vae_params=None,
+    mesh=None,
+    log: MetricsLogger | None = None,
+) -> GPPVAETrainResult:
+    if config.mode not in ("joint", "dis"):
+        raise ValueError(f"unknown mode {config.mode!r}; want 'joint' or 'dis'")
+    own_log = log is None
+    log = log or MetricsLogger(config.outdir)
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_key, sample_key, x_key = jax.random.split(rng, 4)
+
+    model = VAE(
+        zdim=config.zdim,
+        image_shape=tuple(dataset.image_shape),
+        enc_features=tuple(config.enc_features),
+        dec_features=tuple(config.dec_features),
+        dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+    )
+
+    # --- assemble train-set device arrays (HBM-resident for the run)
+    tr = dataset.train_idx
+    if mesh is not None:
+        # row-sharded arrays need equal shards; drop <mesh-size trailing rows
+        tr = tr[: trim_to_multiple(len(tr), mesh.devices.size)]
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+    ho = dataset.heldout_idx
+    y_ho = jnp.asarray(dataset.images[ho])
+    d_ho = jnp.asarray(dataset.object_ids[ho])
+    q_ho = jnp.asarray(dataset.view_ids[ho])
+    num_train = len(tr)
+    if mesh is not None:
+        # N-axis sharding: dataset rows (and therefore Z, V, Taylor coeff
+        # rows) live distributed; GP reductions psum over ICI (SURVEY.md §5)
+        images_tr, d_tr, q_tr = shard_rows(mesh, images_tr, d_tr, q_tr)
+
+    # --- params: pretrained VAE (the --vae_weights handoff) or fresh init
+    fresh = model.init(init_key, images_tr[:1], sample_key)
+    if vae_params is None and config.vae_weights:
+        vae_params = load_vae_weights(config.vae_weights, abstract_params=fresh)
+    if vae_params is None:
+        vae_params = fresh
+    else:
+        # phase C donates the params buffers; own a copy so the caller's
+        # arrays (e.g. a result reused across runs) survive
+        vae_params = jax.tree.map(lambda x: jnp.array(x, copy=True), vae_params)
+
+    P = dataset.num_objects
+    W0 = _init_view_features(config, dataset)
+    gp_params = {
+        "X": jax.random.normal(
+            x_key, (P, config.obj_feature_dim), jnp.float32
+        ) / np.sqrt(config.obj_feature_dim),
+        "log_vs": jnp.log(jnp.asarray(config.init_v_sig, jnp.float32)),
+        "log_vn": jnp.log(jnp.asarray(config.init_v_noise, jnp.float32)),
+    }
+    fixed_W = None
+    if config.mode == "joint":
+        gp_params["W"] = W0
+    else:
+        fixed_W = W0
+    params = {"vae": vae_params, "gp": gp_params}
+
+    opt_vae = optax.adam(config.lr_vae)
+    opt_gp = optax.adam(config.lr_gp)
+    if mesh is not None:
+        params = jax.device_put(params, replicated(mesh))
+        if fixed_W is not None:
+            fixed_W = jax.device_put(fixed_W, replicated(mesh))
+    ov_state = opt_vae.init(params["vae"])
+    og_state = opt_gp.init(params["gp"])
+
+    phase_a = make_phase_a_fn(model)
+    phase_b = make_phase_b_fn()
+    phase_c = make_phase_c_fn(model, opt_vae, opt_gp, config, num_train, mesh)
+    oos_fn = make_oos_fn(model, config)
+    build_V0 = jax.jit(
+        lambda X, W: gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
+    )
+
+    timer = PhaseTimer()
+    history: list[dict] = []
+    # single-device: chunked scan bounds activation memory; sharded: one
+    # row-parallel call keeps the encode embarrassingly parallel on the mesh
+    chunk = num_train if mesh is not None else min(1024, num_train)
+    for epoch in range(config.epochs):
+        t0 = time.perf_counter()
+        rng, epoch_key = jax.random.split(rng)
+
+        with timer.phase("A_refresh"):
+            Z0 = phase_a(params["vae"], images_tr, chunk)
+            W_cur = params["gp"].get("W", fixed_W)
+            V0 = build_V0(params["gp"]["X"], W_cur)
+            Z0.block_until_ready()
+
+        with timer.phase("B_solve"):
+            coeffs = phase_b(Z0, V0, _split_gp_aux(params["gp"]))
+            coeffs.value.block_until_ready()
+
+        with timer.phase("C_minibatch"):
+            params, ov_state, og_state, metrics = phase_c(
+                params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
+                coeffs, epoch_key,
+            )
+            metrics = jax.device_get(metrics)
+
+        with timer.phase("eval_oos"):
+            # fresh refresh so the predictive posterior sees the post-update
+            # encoder — the reported oos_mse is always self-consistent
+            Z0_eval = phase_a(params["vae"], images_tr, chunk)
+            y_pred, oos_mse = oos_fn(
+                params, fixed_W, Z0_eval, d_tr, q_tr, d_ho, q_ho, y_ho
+            )
+            oos_mse = float(oos_mse)
+
+        sec = time.perf_counter() - t0
+        phases = timer.reset()
+        rec = {
+            "driver": f"train_gppvae[{config.mode}]",
+            "epoch": epoch,
+            "loss": float(metrics[0]),
+            "recon_term": float(metrics[1]),
+            "gp_term": float(metrics[2]),
+            "pen_term": float(metrics[3]),
+            "mse": float(metrics[4]),
+            "gp_nll_full": float(coeffs.value) / num_train,
+            "v_sig": float(jnp.exp(params["gp"]["log_vs"])),
+            "v_noise": float(jnp.exp(params["gp"]["log_vn"])),
+            "oos_mse": oos_mse,
+            "sec_epoch": sec,
+            **{f"sec_{k}": v for k, v in phases.items()},
+        }
+        log.log(rec)
+        history.append(rec)
+
+        if config.outdir:
+            _epoch_artifacts(
+                model, params, fixed_W, images_tr, y_pred, y_ho, config, epoch,
+                epoch_key,
+            )
+
+    if config.outdir:
+        save_pytree(
+            os.path.join(config.outdir, "final_state"),
+            {
+                "params": params,
+                **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+                "epoch": config.epochs,
+            },
+        )
+    if own_log:
+        log.close()
+    return GPPVAETrainResult(
+        params=params, fixed_W=fixed_W, config=config, history=history, model=model
+    )
+
+
+def _epoch_artifacts(model, params, fixed_W, images_tr, y_pred, y_ho, config,
+                     epoch, key):
+    last = epoch == config.epochs - 1
+    if config.panel_every and (epoch % config.panel_every == 0 or last):
+        y = images_tr[:8]
+        logits, *_ = model.apply(params["vae"], y, key)
+        save_panel(
+            os.path.join(config.outdir, f"panel_{epoch:04d}.png"),
+            [
+                np.asarray(y),
+                np.asarray(jax.nn.sigmoid(logits)),
+                np.asarray(y_ho[:8]),
+                np.asarray(y_pred[:8]),
+            ],
+        )
+    if config.checkpoint_every and epoch % config.checkpoint_every == 0 and not last:
+        save_pytree(
+            os.path.join(config.outdir, f"state_{epoch:04d}"),
+            {"params": params, "epoch": epoch},
+        )
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="GPPVAE training (dis/joint)")
+    p.add_argument("--data", default="synthetic",
+                   help="synthetic | sklearn | mnist:<dir> | faces[:h5:<path>] | npz:<path>")
+    p.add_argument("--outdir", default="./out/gppvae")
+    p.add_argument("--mode", default="joint", choices=["joint", "dis"])
+    p.add_argument("--vae_weights", default=None,
+                   help="pretrained VAE weights from train_vae (handoff artifact)")
+    p.add_argument("--zdim", type=int, default=16)
+    p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--lr", type=float, default=2e-4, help="VAE learning rate")
+    p.add_argument("--gp_lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sigma_y", type=float, default=0.1)
+    p.add_argument("--xdim", type=int, default=8, help="object feature rank M")
+    p.add_argument("--view_freqs", type=int, default=3)
+    p.add_argument("--num_objects", type=int, default=400)
+    p.add_argument("--num_views", type=int, default=16)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--panel_every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from gppvae_tpu.config.datasets import build_dataset_from_flag
+
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    config = GPPVAETrainConfig(
+        mode=args.mode, zdim=args.zdim, epochs=args.epochs, batch_size=args.bs,
+        lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
+        obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
+        compute_dtype=args.dtype, vae_weights=args.vae_weights,
+        outdir=args.outdir, panel_every=args.panel_every,
+    )
+    train_gppvae(ds, config)
+
+
+if __name__ == "__main__":
+    main()

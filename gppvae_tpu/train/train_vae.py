@@ -1,0 +1,224 @@
+"""Vanilla conv-VAE pretrain driver (reference: pysrc/faceplace/train_vae.py,
+SURVEY.md §3.1; config BASELINE.json:7).
+
+TPU-first loop design: the whole dataset lives in HBM; one `jax.jit`'ed
+`lax.scan` runs the entire epoch of minibatch steps on-device (the host
+uploads an epoch RNG key and reads back scalar metrics once per epoch —
+no per-minibatch host↔device traffic, unlike the reference's dataloader).
+Produces the `vae_weights` artifact consumed by train_gppvae.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gppvae_tpu.checkpoint import save_pytree, save_vae_weights
+from gppvae_tpu.data.dataset import GridDataset
+from gppvae_tpu.eval.panels import save_panel
+from gppvae_tpu.models import VAE
+from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
+from gppvae_tpu.utils import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class VAETrainConfig:
+    """Flags mirror the reference CLI (SURVEY.md §2.1: --zdim --bs --lr
+    --epochs --seed …) plus TPU-native knobs (compute dtype)."""
+
+    zdim: int = 16
+    epochs: int = 50
+    batch_size: int = 128
+    lr: float = 2e-4
+    seed: int = 0
+    sigma_y: float = 0.1  # decoder Gaussian likelihood std
+    beta_kl: float = 1.0
+    enc_features: Sequence[int] = (32, 64, 128)
+    dec_features: Sequence[int] = (128, 64, 32)
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
+    outdir: str | None = None
+    panel_every: int = 0  # epochs between image panels (0 = off)
+    checkpoint_every: int = 0  # epochs between state checkpoints (0 = end only)
+
+
+@dataclasses.dataclass
+class VAETrainResult:
+    vae_params: Any
+    config: VAETrainConfig
+    history: list[dict]
+    model: VAE
+
+
+def _build_model(config: VAETrainConfig, image_shape) -> VAE:
+    return VAE(
+        zdim=config.zdim,
+        image_shape=tuple(image_shape),
+        enc_features=tuple(config.enc_features),
+        dec_features=tuple(config.dec_features),
+        dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def make_epoch_fn(model: VAE, optimizer, config: VAETrainConfig, num_train: int):
+    """One jit'ed function = one epoch: permute, scan minibatch steps."""
+    bs = config.batch_size
+    nb = num_train // bs
+    if nb == 0:
+        raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, images, train_idx, epoch_key):
+        def minibatch_step(carry, xs):
+            params, opt_state = carry
+            batch_idx, step_key = xs
+
+            def loss_fn(p):
+                y = images[batch_idx]
+                logits, mu, logvar, _ = model.apply(p, y, step_key)
+                recon, mse = gaussian_recon_nll(
+                    y, jax.nn.sigmoid(logits), config.sigma_y
+                )
+                kl = kl_standard_normal(mu, logvar)
+                loss = jnp.mean(recon + config.beta_kl * kl)
+                return loss, (jnp.mean(recon), jnp.mean(kl), jnp.mean(mse))
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([loss, *aux])
+
+        perm = jax.random.permutation(epoch_key, train_idx)[: nb * bs]
+        batches = perm.reshape(nb, bs)
+        step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch_step, (params, opt_state), (batches, step_keys)
+        )
+        return params, opt_state, jnp.mean(metrics, axis=0)
+
+    return epoch_fn
+
+
+def make_eval_fn(model: VAE, config: VAETrainConfig):
+    @jax.jit
+    def eval_fn(params, y, key):
+        logits, mu, logvar, _ = model.apply(params, y, key)
+        recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), config.sigma_y)
+        kl = kl_standard_normal(mu, logvar)
+        return jnp.mean(recon + config.beta_kl * kl), jnp.mean(mse)
+
+    return eval_fn
+
+
+def train_vae(
+    dataset: GridDataset, config: VAETrainConfig, *, log: MetricsLogger | None = None
+) -> VAETrainResult:
+    own_log = log is None
+    log = log or MetricsLogger(config.outdir)
+    model = _build_model(config, dataset.image_shape)
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_key, sample_key = jax.random.split(rng, 3)
+
+    images = jnp.asarray(dataset.images)  # HBM-resident for the whole run
+    train_idx = jnp.asarray(dataset.train_idx)
+    val_idx = jnp.asarray(dataset.val_idx)
+
+    params = model.init(init_key, images[:1], sample_key)
+    optimizer = optax.adam(config.lr)
+    opt_state = optimizer.init(params)
+
+    epoch_fn = make_epoch_fn(model, optimizer, config, len(dataset.train_idx))
+    eval_fn = make_eval_fn(model, config)
+
+    history: list[dict] = []
+    for epoch in range(config.epochs):
+        t0 = time.perf_counter()
+        rng, epoch_key, eval_key = jax.random.split(rng, 3)
+        params, opt_state, metrics = epoch_fn(
+            params, opt_state, images, train_idx, epoch_key
+        )
+        metrics = jax.device_get(metrics)
+        sec = time.perf_counter() - t0
+        rec = {
+            "driver": "train_vae",
+            "epoch": epoch,
+            "loss": float(metrics[0]),
+            "recon_term": float(metrics[1]),
+            "kl_term": float(metrics[2]),
+            "mse": float(metrics[3]),
+            "sec_epoch": sec,
+        }
+        if len(val_idx):
+            val_loss, val_mse = eval_fn(params, images[val_idx], eval_key)
+            rec["val_loss"] = float(val_loss)
+            rec["val_mse"] = float(val_mse)
+        log.log(rec)
+        history.append(rec)
+
+        if config.outdir:
+            _epoch_artifacts(model, params, images, dataset, config, epoch, eval_key)
+
+    if config.outdir:
+        save_vae_weights(os.path.join(config.outdir, "vae_weights"), params)
+        save_pytree(
+            os.path.join(config.outdir, "final_state"),
+            {"params": params, "opt_state": opt_state, "epoch": config.epochs},
+        )
+    if own_log:
+        log.close()
+    return VAETrainResult(vae_params=params, config=config, history=history, model=model)
+
+
+def _epoch_artifacts(model, params, images, dataset, config, epoch, key):
+    last = epoch == config.epochs - 1
+    if config.panel_every and (epoch % config.panel_every == 0 or last):
+        idx = np.asarray(dataset.val_idx[:8] if len(dataset.val_idx) else dataset.train_idx[:8])
+        y = images[idx]
+        logits, *_ = model.apply(params, y, key)
+        save_panel(
+            os.path.join(config.outdir, f"panel_{epoch:04d}.png"),
+            [np.asarray(y), np.asarray(jax.nn.sigmoid(logits))],
+        )
+    if config.checkpoint_every and epoch % config.checkpoint_every == 0 and not last:
+        save_vae_weights(os.path.join(config.outdir, f"vae_weights_{epoch:04d}"), params)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Vanilla conv-VAE pretrain (GPPVAE stage 1)")
+    p.add_argument("--data", default="synthetic",
+                   help="rotated-digits source: synthetic | sklearn | mnist:<dir> | faces[:h5path]")
+    p.add_argument("--outdir", default="./out/vae")
+    p.add_argument("--zdim", type=int, default=16)
+    p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sigma_y", type=float, default=0.1)
+    p.add_argument("--num_objects", type=int, default=400)
+    p.add_argument("--num_views", type=int, default=16)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--panel_every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from gppvae_tpu.config.datasets import build_dataset_from_flag
+
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    config = VAETrainConfig(
+        zdim=args.zdim, epochs=args.epochs, batch_size=args.bs, lr=args.lr,
+        seed=args.seed, sigma_y=args.sigma_y, compute_dtype=args.dtype,
+        outdir=args.outdir, panel_every=args.panel_every,
+    )
+    train_vae(ds, config)
+
+
+if __name__ == "__main__":
+    main()

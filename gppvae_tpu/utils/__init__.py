@@ -1,0 +1,6 @@
+"""Shared utilities: structured metrics, phase timers, rng helpers."""
+
+from gppvae_tpu.utils.metrics import MetricsLogger
+from gppvae_tpu.utils.timers import PhaseTimer
+
+__all__ = ["MetricsLogger", "PhaseTimer"]

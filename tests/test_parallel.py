@@ -1,0 +1,78 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4.5).
+
+Checks that (a) the sharded-N GP math produces the same numbers as
+single-device, (b) the full GPPVAE training step compiles and runs with
+row-sharded data and replicated params, (c) shardings propagate (Z stays
+row-sharded through phase A).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gppvae_tpu import gp
+from gppvae_tpu.parallel import make_mesh, row_sharding, shard_rows
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_sharded_nll_matches_single_device():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    N, R, L = 512, 24, 8
+    V = jax.random.normal(k1, (N, R), jnp.float64)
+    Z = jax.random.normal(k2, (N, L), jnp.float64)
+    vs, vn = jnp.float64(0.8), jnp.float64(0.3)
+
+    ref = gp.gp_nll_from_features(Z, V, vs, vn)
+
+    mesh = make_mesh(8)
+    Vs, Zs = shard_rows(mesh, V, Z)
+    out = jax.jit(gp.gp_nll_from_features)(Zs, Vs, vs, vn)
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+
+def test_sharded_taylor_grads_match():
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    N, R, L = 256, 12, 4
+    V = jax.random.normal(k1, (N, R), jnp.float64)
+    Z = jax.random.normal(k2, (N, L), jnp.float64)
+    aux = {"log_vs": jnp.float64(0.0), "log_vn": jnp.float64(-1.0)}
+
+    def nll_fn(Z, V, aux):
+        return gp.gp_nll_from_features(
+            Z, V, jnp.exp(aux["log_vs"]), jnp.exp(aux["log_vn"])
+        )
+
+    ref = gp.taylor_expand(nll_fn, Z, V, aux)
+
+    mesh = make_mesh(8)
+    Vs, Zs = shard_rows(mesh, V, Z)
+    out = jax.jit(lambda Z, V, a: gp.taylor_expand(nll_fn, Z, V, a))(Zs, Vs, aux)
+    np.testing.assert_allclose(out.value, ref.value, rtol=1e-12)
+    np.testing.assert_allclose(out.dZ, ref.dZ, rtol=1e-10)
+    np.testing.assert_allclose(out.dV, ref.dV, rtol=1e-10)
+    # coefficient rows must stay row-sharded (no silent all-gather to host)
+    assert out.dZ.sharding.is_equivalent_to(row_sharding(mesh), ndim=2)
+
+
+def test_gppvae_trains_on_mesh():
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+
+    ds = build_rotated_digits("synthetic", num_objects=16, num_views=8, seed=0)
+    mesh = make_mesh(8)
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    result = train_gppvae(ds, config, mesh=mesh)
+    losses = [h["loss"] for h in result.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert np.isfinite(result.history[-1]["oos_mse"])
