@@ -123,8 +123,27 @@ def gp_nll_from_features(
     This is the function the first-order Taylor surrogate differentiates
     (SURVEY.md §3.2 Phase B); grads w.r.t. every argument flow by autodiff —
     no hand-derived coefficient formulas to get subtly wrong.
+
+    Uses the fused `ops.factor_prep` (Gram + projection + ‖Z‖² in one HBM
+    pass on the pallas backend) rather than factorize()+gp_nll().
     """
-    return gp_nll(Z, factorize(Vs, v_sigs, v_noise), include_const=include_const)
+    if isinstance(Vs, jax.Array) or not isinstance(Vs, (list, tuple)):
+        Vs = [Vs]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U = _scaled_features(Vs, [jnp.asarray(v) for v in v_sigs])
+    N, L = Z.shape
+    R = U.shape[1]
+    G, UtZ, znorm2 = ops.factor_prep(U, Z)
+    B = jnp.eye(R, dtype=U.dtype) + G / v_noise
+    Lb = jax.lax.linalg.cholesky(B)
+    logdet = N * jnp.log(v_noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+    W = jax.scipy.linalg.solve_triangular(Lb, UtZ, lower=True)
+    quad = (znorm2 - ops.sqnorm(W) / v_noise) / v_noise
+    nll = 0.5 * (L * logdet + quad)
+    if include_const:
+        nll = nll + 0.5 * N * L * _LOG2PI
+    return nll
 
 
 def predict_latents(

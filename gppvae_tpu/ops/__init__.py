@@ -17,6 +17,7 @@ ranks) so the math layer never needs to care.
 """
 
 from gppvae_tpu.ops.dispatch import (
+    factor_prep,
     get_backend,
     set_backend,
     use_backend,
@@ -27,6 +28,7 @@ from gppvae_tpu.ops.dispatch import (
 )
 
 __all__ = [
+    "factor_prep",
     "get_backend",
     "set_backend",
     "use_backend",

@@ -89,6 +89,14 @@ def _xla_sqnorm(X: jax.Array) -> jax.Array:
     return jnp.sum(jnp.square(X))
 
 
+def _xla_factor_prep(U: jax.Array, Z: jax.Array):
+    return (
+        jnp.dot(U.T, U, preferred_element_type=U.dtype),
+        jnp.dot(U.T, Z, preferred_element_type=U.dtype),
+        jnp.sum(jnp.square(Z)),
+    )
+
+
 # ------------------------------------------------------------- public ops
 
 
@@ -110,3 +118,9 @@ def matmul_nn(A: jax.Array, B: jax.Array, *, impl: str | None = None) -> jax.Arr
 def sqnorm(X: jax.Array, *, impl: str | None = None) -> jax.Array:
     """‖X‖_F² as a fused single-pass reduction."""
     return _dispatch("sqnorm", _xla_sqnorm, impl, X)
+
+
+def factor_prep(U: jax.Array, Z: jax.Array, *, impl: str | None = None):
+    """(Uᵀ U, Uᵀ Z, ‖Z‖²) — the Phase-B factor prep, fused in one HBM pass
+    on the pallas backend (SURVEY.md §3.3's Gram + projection + reduction)."""
+    return _dispatch("factor_prep", _xla_factor_prep, impl, U, Z)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gppvae_tpu import gp
+from gppvae_tpu import gp, ops
 from gppvae_tpu.checkpoint import load_vae_weights, save_pytree
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
@@ -70,6 +70,7 @@ class GPPVAETrainConfig:
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
+    ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     outdir: str | None = None
     panel_every: int = 0
     checkpoint_every: int = 0
@@ -232,6 +233,27 @@ def train_gppvae(
 ) -> GPPVAETrainResult:
     if config.mode not in ("joint", "dis"):
         raise ValueError(f"unknown mode {config.mode!r}; want 'joint' or 'dis'")
+    backend = config.ops_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" and mesh is None else "xla"
+    prev_backend = ops.get_backend()
+    ops.set_backend(backend)
+    try:
+        return _train_gppvae_impl(
+            dataset, config, vae_params=vae_params, mesh=mesh, log=log
+        )
+    finally:
+        ops.set_backend(prev_backend)
+
+
+def _train_gppvae_impl(
+    dataset: GridDataset,
+    config: GPPVAETrainConfig,
+    *,
+    vae_params,
+    mesh,
+    log,
+) -> GPPVAETrainResult:
     own_log = log is None
     log = log or MetricsLogger(config.outdir)
     rng = jax.random.PRNGKey(config.seed)

@@ -21,8 +21,9 @@ if not os.environ.get("RUN_TPU_TESTS"):
     # Must run before any backend initializes.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-
-jax.config.update("jax_enable_x64", True)
+    # x64 only on the CPU tier (dense-oracle math tests); on TPU it breaks
+    # Mosaic (int64 indices) and f64 doesn't lower anyway.
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
