@@ -36,6 +36,9 @@ class GridDataset:
     val_idx: np.ndarray
     heldout_idx: np.ndarray
     name: str = "grid"
+    # whether scalar view_aux wraps around (rotation angles → periodic
+    # Fourier view features) or is linear (pose positions → polynomial)
+    periodic_views: bool = True
 
     @property
     def num_objects(self) -> int:
@@ -60,8 +63,15 @@ class GridDataset:
 
     @staticmethod
     def load_npz(path) -> "GridDataset":
+        def conv(k, v):
+            if k == "name":
+                return str(v)
+            if k == "periodic_views":
+                return bool(v)
+            return v
+
         with np.load(path, allow_pickle=False) as f:
-            return GridDataset(**{k: (str(f[k]) if k == "name" else f[k]) for k in f.files})
+            return GridDataset(**{k: conv(k, f[k]) for k in f.files})
 
 
 def make_grid_split(

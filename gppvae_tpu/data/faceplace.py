@@ -158,4 +158,5 @@ def build_faceplace(
         val_idx=val_idx,
         heldout_idx=heldout_idx,
         name="faceplace-synthetic" if source == "synthetic" else "faceplace-h5",
+        periodic_views=False,  # pose/yaw is a linear axis, not a circle
     )

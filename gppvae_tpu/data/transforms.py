@@ -12,14 +12,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def rotate_bilinear(images: np.ndarray, angles: np.ndarray) -> np.ndarray:
+def rotate_bilinear(
+    images: np.ndarray, angles: np.ndarray, *, use_native: bool | None = None
+) -> np.ndarray:
     """Rotate a batch of images about their centers with bilinear sampling.
 
     images: (B, H, W) float; angles: (B,) radians, counter-clockwise.
     Out-of-bounds samples are zero. Returns (B, H, W) float32.
+
+    Dispatches to the C++ kernel (gppvae_tpu/native/rotate.cpp) when built;
+    the numpy path below is the tested-identical fallback.
     """
     images = np.asarray(images, dtype=np.float32)
     angles = np.broadcast_to(np.asarray(angles, dtype=np.float32), images.shape[:1])
+    if use_native is not False:
+        try:
+            from gppvae_tpu.native import native_available, rotate_bilinear_native
+
+            if native_available():
+                return rotate_bilinear_native(images, angles)
+        except Exception:
+            if use_native:  # explicit request — surface the failure
+                raise
     B, H, W = images.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
 

@@ -30,6 +30,7 @@ from gppvae_tpu.gp.features import (
     fourier_view_features,
     kron_rows,
     normalize_rows,
+    polynomial_view_features,
 )
 from gppvae_tpu.gp.taylor import surrogate_batch_term, taylor_expand, TaylorCoefficients
 from gppvae_tpu.gp import dense
@@ -45,6 +46,7 @@ __all__ = [
     "fourier_view_features",
     "kron_rows",
     "normalize_rows",
+    "polynomial_view_features",
     "surrogate_batch_term",
     "taylor_expand",
     "TaylorCoefficients",

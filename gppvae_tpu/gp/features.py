@@ -61,6 +61,26 @@ def fourier_view_features(
     return W / jnp.linalg.norm(W, axis=1, keepdims=True)
 
 
+def polynomial_view_features(
+    positions: jax.Array,
+    degree: int = 3,
+    dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """Fixed polynomial view features for a *linear* view axis (e.g. pose).
+
+    Rows f(t) ∝ [1, t, t², …, t^degree] (t rescaled to [-1, 1]), unit-
+    normalized — the fixed/linear view kernel for non-periodic view
+    auxiliaries (BASELINE.json:8 wording; face poses, SURVEY.md §2.3 item 5).
+    """
+    t = jnp.asarray(positions, dtype=dtype)
+    if t.ndim != 1:
+        raise ValueError(f"positions must be 1-D, got shape {t.shape}")
+    lo, hi = jnp.min(t), jnp.max(t)
+    t = jnp.where(hi > lo, 2.0 * (t - lo) / (hi - lo) - 1.0, t * 0.0)
+    W = jnp.stack([t**k for k in range(degree + 1)], axis=1)
+    return W / jnp.linalg.norm(W, axis=1, keepdims=True)
+
+
 def kron_rows(Xrows: jax.Array, Wrows: jax.Array) -> jax.Array:
     """Row-wise Kronecker (Khatri–Rao) product.
 

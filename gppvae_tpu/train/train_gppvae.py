@@ -2,7 +2,7 @@
 pysrc/faceplace/train_gppvae.py + the fork's rotated-MNIST dis/joint
 variants; SURVEY.md §3.2; configs BASELINE.json:8-9).
 
-Epoch structure (all three phases jit'ed, dataset HBM-resident):
+Epoch structure (everything device-resident and jit'ed):
 
   Phase A  full-latent refresh: grad-free encoder pass over every training
            row → Z₀ (N×L latent means); V₀ = object⊗view feature rows.
@@ -14,6 +14,18 @@ Epoch structure (all three phases jit'ed, dataset HBM-resident):
   Eval     out-of-sample conditional generation for held-out (object, view)
            cells via GP-predictive latents; pixel MSE is the parity metric.
 
+Two execution paths:
+
+  * fused pipeline (default) — `epochs_per_dispatch` whole epochs run as ONE
+    jit'ed `lax.scan`: zero host↔device sync inside, and the per-epoch eval
+    refresh doubles as the next epoch's Phase-A encode (the refresh is
+    "pipelined against GP solves" at the XLA-schedule level — the TPU-native
+    reading of the north star, BASELINE.json:5). The host only uploads an
+    RNG key and reads back a metrics block per dispatch.
+  * phase-per-dispatch profile path (`profile_phases=True`) — phases A/B/C
+    and eval dispatched separately with wall-clock per phase (SURVEY.md §5
+    tracing), for the benchmark breakdown.
+
 Modes:
   'dis'    fixed view kernel (Fourier features of the view angle); object
            features X and variance components still learn (BASELINE.json:8).
@@ -22,8 +34,8 @@ Modes:
 
 Loss convention (see train/losses.py): every term is a per-sample batch
 mean; the GP surrogate term divides `gp.surrogate_batch_term` by the batch
-size, which makes the epoch-accumulated GP gradient equal to (1/b)·∇NLL of
-the exact full-dataset NLL at the expansion point (property-tested).
+size, which makes the epoch-accumulated GP gradient equal (1/b)·∇NLL of the
+exact full-dataset NLL at the expansion point (property-tested).
 """
 
 from __future__ import annotations
@@ -49,6 +61,11 @@ from gppvae_tpu.parallel import replicated, row_sharding, shard_rows, trim_to_mu
 from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
 from gppvae_tpu.utils import MetricsLogger, PhaseTimer
 
+_METRIC_KEYS = (
+    "loss", "recon_term", "gp_term", "pen_term", "mse",
+    "gp_nll_full", "v_sig", "v_noise", "oos_mse",
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class GPPVAETrainConfig:
@@ -71,6 +88,9 @@ class GPPVAETrainConfig:
     compute_dtype: str = "float32"
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
+    epochs_per_dispatch: int = 1  # fused pipeline super-step size
+    profile_phases: bool = False  # phase-per-dispatch path with timings
+    encode_chunk: int = 1024  # Phase-A scan chunk (activation footprint cap)
     outdir: str | None = None
     panel_every: int = 0
     checkpoint_every: int = 0
@@ -85,14 +105,24 @@ class GPPVAETrainResult:
     model: VAE
 
 
+# --------------------------------------------------------------- helpers
+
+
 def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
-    """Fixed Fourier features of the view angle when available, else a
-    deterministic random unit-row matrix. Returns (Q, M_w) float32."""
+    """Fixed view features from the dataset's view auxiliary: periodic
+    Fourier features for rotation angles, polynomial features for linear
+    axes (pose), else a deterministic random unit-row matrix.
+    Returns (Q, M_w) float32."""
     Q = dataset.num_views
     aux = dataset.view_aux
-    if aux.shape[1] == 1:  # angle-like scalar aux → periodic Fourier features
+    if aux.shape[1] == 1 and dataset.periodic_views:
         return gp.fourier_view_features(
             jnp.asarray(aux[:, 0]), num_freqs=config.view_num_freqs
+        ).astype(jnp.float32)
+    if aux.shape[1] == 1:
+        degree = (config.view_feature_dim or (2 * config.view_num_freqs + 1)) - 1
+        return gp.polynomial_view_features(
+            jnp.asarray(aux[:, 0]), degree=degree
         ).astype(jnp.float32)
     Mw = config.view_feature_dim or (2 * config.view_num_freqs + 1)
     W = jax.random.normal(jax.random.PRNGKey(7), (Q, Mw), jnp.float32)
@@ -110,49 +140,61 @@ def _split_gp_aux(gp_params):
     return {"log_vs": gp_params["log_vs"], "log_vn": gp_params["log_vn"]}
 
 
-def make_phase_a_fn(model: VAE):
-    """Grad-free full-train-set latent refresh (chunked scan keeps the
-    activation footprint constant regardless of N)."""
+def _encode_all(model: VAE, vae_params, images, chunk: int):
+    """Grad-free full encode (Phase A). Chunked scan caps activations."""
+    n = images.shape[0]
+    if chunk >= n:
+        mu, _ = model.apply(vae_params, images, method=VAE.encode)
+        return mu
+    pad = (-n) % chunk
+    padded = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+    chunks = padded.reshape(-1, chunk, *images.shape[1:])
 
-    @partial(jax.jit, static_argnums=(2,))
-    def phase_a(vae_params, images_tr, chunk: int):
-        n = images_tr.shape[0]
-        pad = (-n) % chunk
-        padded = jnp.pad(images_tr, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        chunks = padded.reshape(-1, chunk, *images_tr.shape[1:])
+    def enc(_, y):
+        mu, _lv = model.apply(vae_params, y, method=VAE.encode)
+        return None, mu
 
-        def enc(_, y):
-            mu, _lv = model.apply(vae_params, y, method=VAE.encode)
-            return None, mu
-
-        _, Z = jax.lax.scan(enc, None, chunks)
-        return Z.reshape(-1, Z.shape[-1])[:n]
-
-    return phase_a
+    _, Z = jax.lax.scan(enc, None, chunks)
+    return Z.reshape(-1, Z.shape[-1])[:n]
 
 
-def make_phase_b_fn():
-    @jax.jit
-    def phase_b(Z0, V0, aux0):
-        return gp.taylor_expand(_gp_nll_fn, Z0, V0, aux0)
+class _Loop:
+    """Closes over everything static; provides the epoch building blocks
+    used by both execution paths."""
 
-    return phase_b
+    def __init__(self, model, opt_vae, opt_gp, config, num_train, mesh):
+        self.model = model
+        self.opt_vae = opt_vae
+        self.opt_gp = opt_gp
+        self.config = config
+        self.num_train = num_train
+        self.learn_W = config.mode == "joint"
+        self.batch_sharding = row_sharding(mesh) if mesh is not None else None
+        self.chunk = num_train if mesh is not None else min(
+            config.encode_chunk, num_train
+        )
+        bs = config.batch_size
+        self.nb = num_train // bs
+        if self.nb == 0:
+            raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
 
+    # -- phase A+B
+    def refresh_and_solve(self, params, fixed_W, images_tr, d_tr, q_tr):
+        Z0 = _encode_all(self.model, params["vae"], images_tr, self.chunk)
+        W = params["gp"]["W"] if self.learn_W else fixed_W
+        V0 = gp.build_V(params["gp"]["X"], W, d_tr, q_tr,
+                        normalize_X=True, normalize_W=True)
+        coeffs = gp.taylor_expand(_gp_nll_fn, Z0, V0, _split_gp_aux(params["gp"]))
+        return Z0, coeffs
 
-def make_phase_c_fn(
-    model: VAE, opt_vae, opt_gp, config: GPPVAETrainConfig, num_train: int,
-    mesh=None,
-):
-    bs = config.batch_size
-    nb = num_train // bs
-    if nb == 0:
-        raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
-    learn_W = config.mode == "joint"
-    batch_sharding = row_sharding(mesh) if mesh is not None else None
+    # -- phase C
+    def minibatch_epoch(self, params, ov_state, og_state, fixed_W, images_tr,
+                        d_tr, q_tr, coeffs, epoch_key):
+        bs = self.config.batch_size
+        config = self.config
+        model, num_train = self.model, self.num_train
+        learn_W, batch_sharding = self.learn_W, self.batch_sharding
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=())
-    def phase_c(params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
-                coeffs, epoch_key):
         def minibatch_step(carry, xs):
             params, ov_state, og_state = carry
             pos, step_key = xs  # positions into the train arrays
@@ -160,8 +202,7 @@ def make_phase_c_fn(
             def loss_fn(p):
                 y = images_tr[pos]
                 if batch_sharding is not None:
-                    # DP: split the gathered batch rows across the mesh so the
-                    # conv fwd/bwd shards over batch (grads psum automatically)
+                    # DP: split the gathered batch rows across the mesh
                     y = jax.lax.with_sharding_constraint(y, batch_sharding)
                 mu, logvar = model.apply(p["vae"], y, method=VAE.encode)
                 z = reparameterize(step_key, mu, logvar)
@@ -170,57 +211,100 @@ def make_phase_c_fn(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )
                 W = p["gp"]["W"] if learn_W else fixed_W
-                v = gp.build_V(
-                    p["gp"]["X"], W, d_tr[pos], q_tr[pos],
-                    normalize_X=True, normalize_W=True,
-                )
+                v = gp.build_V(p["gp"]["X"], W, d_tr[pos], q_tr[pos],
+                               normalize_X=True, normalize_W=True)
                 aux = _split_gp_aux(p["gp"])
-                gp_term = (
-                    gp.surrogate_batch_term(coeffs, pos, z, v, aux, num_train) / bs
-                )
+                gp_term = gp.surrogate_batch_term(
+                    coeffs, pos, z, v, aux, num_train
+                ) / bs
                 pen = jnp.mean(neg_entropy(logvar))
                 loss = jnp.mean(recon) + gp_term + pen
                 return loss, (jnp.mean(recon), gp_term, pen, jnp.mean(mse))
 
             (loss, aux_m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            vae_updates, ov_state2 = opt_vae.update(
-                grads["vae"], ov_state, params["vae"]
-            )
-            gp_updates, og_state2 = opt_gp.update(grads["gp"], og_state, params["gp"])
+            vae_updates, ov2 = self.opt_vae.update(grads["vae"], ov_state,
+                                                   params["vae"])
+            gp_updates, og2 = self.opt_gp.update(grads["gp"], og_state,
+                                                 params["gp"])
             params = {
                 "vae": optax.apply_updates(params["vae"], vae_updates),
                 "gp": optax.apply_updates(params["gp"], gp_updates),
             }
-            return (params, ov_state2, og_state2), jnp.stack([loss, *aux_m])
+            return (params, ov2, og2), jnp.stack([loss, *aux_m])
 
-        perm = jax.random.permutation(epoch_key, num_train)[: nb * bs]
-        batches = perm.reshape(nb, bs)
-        step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
+        perm = jax.random.permutation(epoch_key, num_train)[: self.nb * bs]
+        batches = perm.reshape(self.nb, bs)
+        step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), self.nb)
         (params, ov_state, og_state), metrics = jax.lax.scan(
             minibatch_step, (params, ov_state, og_state), (batches, step_keys)
         )
         return params, ov_state, og_state, jnp.mean(metrics, axis=0)
 
-    return phase_c
-
-
-def make_oos_fn(model: VAE, config: GPPVAETrainConfig):
-    learn_W = config.mode == "joint"
-
-    @jax.jit
-    def oos_eval(params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
-        W = params["gp"]["W"] if learn_W else fixed_W
+    # -- out-of-sample eval (given a fresh Z0 for the current params)
+    def oos(self, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
+        W = params["gp"]["W"] if self.learn_W else fixed_W
         X = params["gp"]["X"]
         V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
         V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True)
         v_sig = jnp.exp(params["gp"]["log_vs"])
         v_noise = jnp.exp(params["gp"]["log_vn"])
         factors = gp.factorize(V_tr, v_sig, v_noise)
-        decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
+        decode = lambda z: self.model.apply(params["vae"], z, method=VAE.decode)
         y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
         return y_pred, pixel_mse(y_ho, y_pred)
 
-    return oos_eval
+    # ---------------- fused multi-epoch pipeline (one dispatch) ----------
+    def make_fused_fn(self, n_epochs: int):
+        """E epochs in one jit: scan body = [Phase A (doubles as previous
+        epoch's eval refresh) → oos eval → Phase B → Phase C]. After the
+        scan, one final refresh+eval closes the last epoch. Metrics rows
+        come back aligned so row e describes the state AFTER epoch e."""
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def fused(params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
+                  y_ho, d_ho, q_ho, base_key):
+            def body(carry, epoch_key):
+                params, ov_state, og_state = carry
+                Z0, coeffs = self.refresh_and_solve(
+                    params, fixed_W, images_tr, d_tr, q_tr
+                )
+                # oos of the ENTERING state (== end of previous epoch)
+                _, oos_in = self.oos(
+                    params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho
+                )
+                params, ov_state, og_state, cm = self.minibatch_epoch(
+                    params, ov_state, og_state, fixed_W, images_tr, d_tr,
+                    q_tr, coeffs, epoch_key,
+                )
+                row = jnp.concatenate([
+                    cm,
+                    jnp.stack([
+                        coeffs.value / self.num_train,
+                        jnp.exp(params["gp"]["log_vs"]),
+                        jnp.exp(params["gp"]["log_vn"]),
+                        oos_in,
+                    ]),
+                ])
+                return (params, ov_state, og_state), row
+
+            keys = jax.random.split(base_key, n_epochs)
+            (params, ov_state, og_state), rows = jax.lax.scan(
+                body, (params, ov_state, og_state), keys
+            )
+            # close the last epoch: fresh refresh + eval of the FINAL state
+            Z_fin = _encode_all(self.model, params["vae"], images_tr, self.chunk)
+            y_pred, oos_fin = self.oos(
+                params, fixed_W, Z_fin, d_tr, q_tr, d_ho, q_ho, y_ho
+            )
+            # shift: row e's oos describes state entering e ⇒ align to e-1
+            oos = jnp.concatenate([rows[1:, -1], jnp.stack([oos_fin])])
+            rows = rows.at[:, -1].set(oos)
+            return params, ov_state, og_state, rows, y_pred
+
+        return fused
+
+
+# ------------------------------------------------------------- driver
 
 
 def train_gppvae(
@@ -246,16 +330,7 @@ def train_gppvae(
         ops.set_backend(prev_backend)
 
 
-def _train_gppvae_impl(
-    dataset: GridDataset,
-    config: GPPVAETrainConfig,
-    *,
-    vae_params,
-    mesh,
-    log,
-) -> GPPVAETrainResult:
-    own_log = log is None
-    log = log or MetricsLogger(config.outdir)
+def _setup(dataset, config, vae_params, mesh):
     rng = jax.random.PRNGKey(config.seed)
     rng, init_key, sample_key, x_key = jax.random.split(rng, 4)
 
@@ -267,26 +342,26 @@ def _train_gppvae_impl(
         dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
     )
 
-    # --- assemble train-set device arrays (HBM-resident for the run)
     tr = dataset.train_idx
     if mesh is not None:
         # row-sharded arrays need equal shards; drop <mesh-size trailing rows
         tr = tr[: trim_to_multiple(len(tr), mesh.devices.size)]
-    images_tr = jnp.asarray(dataset.images[tr])
-    d_tr = jnp.asarray(dataset.object_ids[tr])
-    q_tr = jnp.asarray(dataset.view_ids[tr])
-    ho = dataset.heldout_idx
-    y_ho = jnp.asarray(dataset.images[ho])
-    d_ho = jnp.asarray(dataset.object_ids[ho])
-    q_ho = jnp.asarray(dataset.view_ids[ho])
-    num_train = len(tr)
+    arrays = dict(
+        images_tr=jnp.asarray(dataset.images[tr]),
+        d_tr=jnp.asarray(dataset.object_ids[tr]),
+        q_tr=jnp.asarray(dataset.view_ids[tr]),
+        y_ho=jnp.asarray(dataset.images[dataset.heldout_idx]),
+        d_ho=jnp.asarray(dataset.object_ids[dataset.heldout_idx]),
+        q_ho=jnp.asarray(dataset.view_ids[dataset.heldout_idx]),
+    )
     if mesh is not None:
         # N-axis sharding: dataset rows (and therefore Z, V, Taylor coeff
         # rows) live distributed; GP reductions psum over ICI (SURVEY.md §5)
-        images_tr, d_tr, q_tr = shard_rows(mesh, images_tr, d_tr, q_tr)
+        arrays["images_tr"], arrays["d_tr"], arrays["q_tr"] = shard_rows(
+            mesh, arrays["images_tr"], arrays["d_tr"], arrays["q_tr"]
+        )
 
-    # --- params: pretrained VAE (the --vae_weights handoff) or fresh init
-    fresh = model.init(init_key, images_tr[:1], sample_key)
+    fresh = model.init(init_key, arrays["images_tr"][:1], sample_key)
     if vae_params is None and config.vae_weights:
         vae_params = load_vae_weights(config.vae_weights, abstract_params=fresh)
     if vae_params is None:
@@ -296,11 +371,10 @@ def _train_gppvae_impl(
         # arrays (e.g. a result reused across runs) survive
         vae_params = jax.tree.map(lambda x: jnp.array(x, copy=True), vae_params)
 
-    P = dataset.num_objects
     W0 = _init_view_features(config, dataset)
     gp_params = {
         "X": jax.random.normal(
-            x_key, (P, config.obj_feature_dim), jnp.float32
+            x_key, (dataset.num_objects, config.obj_feature_dim), jnp.float32
         ) / np.sqrt(config.obj_feature_dim),
         "log_vs": jnp.log(jnp.asarray(config.init_v_sig, jnp.float32)),
         "log_vn": jnp.log(jnp.asarray(config.init_v_noise, jnp.float32)),
@@ -311,84 +385,36 @@ def _train_gppvae_impl(
     else:
         fixed_W = W0
     params = {"vae": vae_params, "gp": gp_params}
-
-    opt_vae = optax.adam(config.lr_vae)
-    opt_gp = optax.adam(config.lr_gp)
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
         if fixed_W is not None:
             fixed_W = jax.device_put(fixed_W, replicated(mesh))
+    return model, params, fixed_W, arrays, rng, len(tr)
+
+
+def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
+    own_log = log is None
+    log = log or MetricsLogger(config.outdir)
+    model, params, fixed_W, arrays, rng, num_train = _setup(
+        dataset, config, vae_params, mesh
+    )
+    opt_vae = optax.adam(config.lr_vae)
+    opt_gp = optax.adam(config.lr_gp)
     ov_state = opt_vae.init(params["vae"])
     og_state = opt_gp.init(params["gp"])
+    loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh)
 
-    phase_a = make_phase_a_fn(model)
-    phase_b = make_phase_b_fn()
-    phase_c = make_phase_c_fn(model, opt_vae, opt_gp, config, num_train, mesh)
-    oos_fn = make_oos_fn(model, config)
-    build_V0 = jax.jit(
-        lambda X, W: gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
-    )
-
-    timer = PhaseTimer()
     history: list[dict] = []
-    # single-device: chunked scan bounds activation memory; sharded: one
-    # row-parallel call keeps the encode embarrassingly parallel on the mesh
-    chunk = num_train if mesh is not None else min(1024, num_train)
-    for epoch in range(config.epochs):
-        t0 = time.perf_counter()
-        rng, epoch_key = jax.random.split(rng)
-
-        with timer.phase("A_refresh"):
-            Z0 = phase_a(params["vae"], images_tr, chunk)
-            W_cur = params["gp"].get("W", fixed_W)
-            V0 = build_V0(params["gp"]["X"], W_cur)
-            Z0.block_until_ready()
-
-        with timer.phase("B_solve"):
-            coeffs = phase_b(Z0, V0, _split_gp_aux(params["gp"]))
-            coeffs.value.block_until_ready()
-
-        with timer.phase("C_minibatch"):
-            params, ov_state, og_state, metrics = phase_c(
-                params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
-                coeffs, epoch_key,
-            )
-            metrics = jax.device_get(metrics)
-
-        with timer.phase("eval_oos"):
-            # fresh refresh so the predictive posterior sees the post-update
-            # encoder — the reported oos_mse is always self-consistent
-            Z0_eval = phase_a(params["vae"], images_tr, chunk)
-            y_pred, oos_mse = oos_fn(
-                params, fixed_W, Z0_eval, d_tr, q_tr, d_ho, q_ho, y_ho
-            )
-            oos_mse = float(oos_mse)
-
-        sec = time.perf_counter() - t0
-        phases = timer.reset()
-        rec = {
-            "driver": f"train_gppvae[{config.mode}]",
-            "epoch": epoch,
-            "loss": float(metrics[0]),
-            "recon_term": float(metrics[1]),
-            "gp_term": float(metrics[2]),
-            "pen_term": float(metrics[3]),
-            "mse": float(metrics[4]),
-            "gp_nll_full": float(coeffs.value) / num_train,
-            "v_sig": float(jnp.exp(params["gp"]["log_vs"])),
-            "v_noise": float(jnp.exp(params["gp"]["log_vn"])),
-            "oos_mse": oos_mse,
-            "sec_epoch": sec,
-            **{f"sec_{k}": v for k, v in phases.items()},
-        }
-        log.log(rec)
-        history.append(rec)
-
-        if config.outdir:
-            _epoch_artifacts(
-                model, params, fixed_W, images_tr, y_pred, y_ho, config, epoch,
-                epoch_key,
-            )
+    if config.profile_phases:
+        params, ov_state, og_state = _run_profiled(
+            loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
+            model, log, history,
+        )
+    else:
+        params, ov_state, og_state = _run_fused(
+            loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
+            model, log, history,
+        )
 
     if config.outdir:
         save_pytree(
@@ -406,9 +432,101 @@ def _train_gppvae_impl(
     )
 
 
-def _epoch_artifacts(model, params, fixed_W, images_tr, y_pred, y_ho, config,
-                     epoch, key):
-    last = epoch == config.epochs - 1
+def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
+               model, log, history):
+    a = arrays
+    done = 0
+    fused_cache: dict[int, Any] = {}
+    while done < config.epochs:
+        e = min(config.epochs_per_dispatch, config.epochs - done)
+        if e not in fused_cache:
+            fused_cache[e] = loop.make_fused_fn(e)
+        rng, step_key = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, ov_state, og_state, rows, y_pred = fused_cache[e](
+            params, ov_state, og_state, fixed_W, a["images_tr"], a["d_tr"],
+            a["q_tr"], a["y_ho"], a["d_ho"], a["q_ho"], step_key,
+        )
+        rows = np.asarray(jax.device_get(rows))
+        sec = (time.perf_counter() - t0) / e
+        for i in range(e):
+            rec = {
+                "driver": f"train_gppvae[{config.mode}]",
+                "epoch": done + i,
+                **dict(zip(_METRIC_KEYS, (float(x) for x in rows[i]))),
+                "sec_epoch": sec,
+            }
+            log.log(rec)
+            history.append(rec)
+        done += e
+        if config.outdir:
+            _epoch_artifacts(
+                model, params, a["images_tr"], y_pred, a["y_ho"], config,
+                done - 1, rng,
+            )
+    return params, ov_state, og_state
+
+
+def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
+                  config, model, log, history):
+    a = arrays
+    refresh_solve = jax.jit(loop.refresh_and_solve)
+    minibatch = jax.jit(loop.minibatch_epoch, donate_argnums=(0, 1, 2))
+    oos_fn = jax.jit(loop.oos)
+    encode = jax.jit(
+        lambda p: _encode_all(loop.model, p["vae"], a["images_tr"], loop.chunk)
+    )
+    timer = PhaseTimer()
+    for epoch in range(config.epochs):
+        t0 = time.perf_counter()
+        rng, epoch_key = jax.random.split(rng)
+        with timer.phase("A_refresh_B_solve"):
+            Z0, coeffs = refresh_solve(
+                params, fixed_W, a["images_tr"], a["d_tr"], a["q_tr"]
+            )
+            coeffs.value.block_until_ready()
+        with timer.phase("C_minibatch"):
+            params, ov_state, og_state, cm = minibatch(
+                params, ov_state, og_state, fixed_W, a["images_tr"], a["d_tr"],
+                a["q_tr"], coeffs, epoch_key,
+            )
+            cm = jax.device_get(cm)
+        with timer.phase("eval_oos"):
+            Z_eval = encode(params)
+            y_pred, oos_mse = oos_fn(
+                params, fixed_W, Z_eval, a["d_tr"], a["q_tr"], a["d_ho"],
+                a["q_ho"], a["y_ho"],
+            )
+            oos_mse = float(oos_mse)
+        sec = time.perf_counter() - t0
+        phases = timer.reset()
+        rec = {
+            "driver": f"train_gppvae[{config.mode}]",
+            "epoch": epoch,
+            "loss": float(cm[0]),
+            "recon_term": float(cm[1]),
+            "gp_term": float(cm[2]),
+            "pen_term": float(cm[3]),
+            "mse": float(cm[4]),
+            "gp_nll_full": float(coeffs.value) / loop.num_train,
+            "v_sig": float(jnp.exp(params["gp"]["log_vs"])),
+            "v_noise": float(jnp.exp(params["gp"]["log_vn"])),
+            "oos_mse": oos_mse,
+            "sec_epoch": sec,
+            **{f"sec_{k}": v for k, v in phases.items()},
+        }
+        log.log(rec)
+        history.append(rec)
+        if config.outdir:
+            _epoch_artifacts(
+                model, params, a["images_tr"], y_pred, a["y_ho"], config,
+                epoch, epoch_key,
+            )
+    return params, ov_state, og_state
+
+
+def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch, key):
+    last = epoch >= config.epochs - 1
     if config.panel_every and (epoch % config.panel_every == 0 or last):
         y = images_tr[:8]
         logits, *_ = model.apply(params["vae"], y, key)
@@ -450,6 +568,8 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--epochs_per_dispatch", type=int, default=1)
+    p.add_argument("--profile_phases", action="store_true")
     p.add_argument("--panel_every", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -461,6 +581,8 @@ def main(argv=None):
         lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
         obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
         compute_dtype=args.dtype, vae_weights=args.vae_weights,
+        epochs_per_dispatch=args.epochs_per_dispatch,
+        profile_phases=args.profile_phases,
         outdir=args.outdir, panel_every=args.panel_every,
     )
     train_gppvae(ds, config)
