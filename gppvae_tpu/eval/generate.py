@@ -1,0 +1,116 @@
+"""Standalone out-of-sample conditional generation CLI (BASELINE.json:11).
+
+Loads a trained GPPVAE state, refreshes the training latents with the saved
+encoder, and generates images for the held-out (object, view) grid cells
+from GP-predictive latents alone (SURVEY.md §3.4) — reporting the pixel-MSE
+parity metric and writing a truth/prediction panel.
+
+    python -m gppvae_tpu.eval.generate --state out/gppvae/final_state \
+        --data synthetic --mode joint [--num_objects 400 --num_views 16]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gppvae_tpu import gp
+from gppvae_tpu.checkpoint import load_pytree
+from gppvae_tpu.data.dataset import GridDataset
+from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
+from gppvae_tpu.eval.panels import save_panel
+from gppvae_tpu.models import VAE
+
+
+def generate_heldout(
+    state: dict,
+    dataset: GridDataset,
+    *,
+    zdim: int,
+    enc_features=(32, 64, 128),
+    dec_features=(128, 64, 32),
+) -> tuple[np.ndarray, float]:
+    """Returns (predicted heldout images, pixel MSE vs ground truth)."""
+    params = state["params"]
+    fixed_W = state.get("fixed_W")
+    model = VAE(
+        zdim=zdim,
+        image_shape=tuple(dataset.image_shape),
+        enc_features=tuple(enc_features),
+        dec_features=tuple(dec_features),
+    )
+    tr, ho = dataset.train_idx, dataset.heldout_idx
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+
+    @jax.jit
+    def run(params, fixed_W):
+        Z0, _ = model.apply(params["vae"], images_tr, method=VAE.encode)
+        W = params["gp"].get("W", fixed_W)
+        X = params["gp"]["X"]
+        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
+        V_ho = gp.build_V(
+            X, W,
+            jnp.asarray(dataset.object_ids[ho]),
+            jnp.asarray(dataset.view_ids[ho]),
+            normalize_X=True, normalize_W=True,
+        )
+        v_sig = jnp.exp(params["gp"]["log_vs"])
+        v_noise = jnp.exp(params["gp"]["log_vn"])
+        factors = gp.factorize(V_tr, v_sig, v_noise)
+        decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
+        y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
+        return y_pred, pixel_mse(jnp.asarray(dataset.images[ho]), y_pred)
+
+    y_pred, mse = run(params, fixed_W)
+    return np.asarray(y_pred), float(mse)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="GPPVAE out-of-sample generation")
+    p.add_argument("--state", required=True, help="final_state checkpoint dir")
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--num_objects", type=int, default=400)
+    p.add_argument("--num_views", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--zdim", type=int, default=None)
+    p.add_argument("--outdir", default=None)
+    args = p.parse_args(argv)
+
+    from gppvae_tpu.config.datasets import build_dataset_from_flag
+
+    # model architecture from the run's sidecar config.json (written by
+    # train_gppvae next to its checkpoints), overridable by --zdim
+    run_dir = os.path.dirname(os.path.abspath(args.state))
+    arch = {"zdim": 16, "enc_features": (32, 64, 128), "dec_features": (128, 64, 32)}
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            saved = json.load(f)
+        arch = {k: saved[k] for k in arch}
+    if args.zdim is not None:
+        arch["zdim"] = args.zdim
+
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    state = load_pytree(args.state)
+    y_pred, mse = generate_heldout(
+        state, ds, zdim=arch["zdim"],
+        enc_features=arch["enc_features"], dec_features=arch["dec_features"],
+    )
+    print(json.dumps({"heldout_mse": mse, "n_heldout": len(ds.heldout_idx)}))
+    outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
+    save_panel(
+        os.path.join(outdir, "oos_panel.png"),
+        [ds.images[ds.heldout_idx[:12]], y_pred[:12]],
+    )
+
+
+if __name__ == "__main__":
+    main()

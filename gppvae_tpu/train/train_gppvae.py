@@ -52,7 +52,7 @@ import numpy as np
 import optax
 
 from gppvae_tpu import gp, ops
-from gppvae_tpu.checkpoint import load_vae_weights, save_pytree
+from gppvae_tpu.checkpoint import load_pytree, load_vae_weights, save_pytree
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
 from gppvae_tpu.eval.panels import save_panel
@@ -87,6 +87,7 @@ class GPPVAETrainConfig:
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
+    resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     epochs_per_dispatch: int = 1  # fused pipeline super-step size
     profile_phases: bool = False  # phase-per-dispatch path with timings
@@ -395,6 +396,13 @@ def _setup(dataset, config, vae_params, mesh):
 def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     own_log = log is None
     log = log or MetricsLogger(config.outdir)
+    if config.outdir:
+        # sidecar config so eval tooling can rebuild the exact model
+        os.makedirs(config.outdir, exist_ok=True)
+        with open(os.path.join(config.outdir, "config.json"), "w") as f:
+            import json
+
+            json.dump(dataclasses.asdict(config), f, indent=1, default=list)
     model, params, fixed_W, arrays, rng, num_train = _setup(
         dataset, config, vae_params, mesh
     )
@@ -402,25 +410,38 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     opt_gp = optax.adam(config.lr_gp)
     ov_state = opt_vae.init(params["vae"])
     og_state = opt_gp.init(params["gp"])
+    start_epoch = 0
+    if config.resume:
+        abstract = {
+            "params": params, "ov_state": ov_state, "og_state": og_state,
+            **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+            "epoch": 0,
+        }
+        state = load_pytree(config.resume, abstract)
+        params, ov_state, og_state = (
+            state["params"], state["ov_state"], state["og_state"]
+        )
+        if fixed_W is not None:
+            fixed_W = state["fixed_W"]
+        start_epoch = int(state["epoch"])
     loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh)
 
     history: list[dict] = []
-    if config.profile_phases:
-        params, ov_state, og_state = _run_profiled(
-            loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
-            model, log, history,
-        )
-    else:
-        params, ov_state, og_state = _run_fused(
-            loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
-            model, log, history,
-        )
+    if start_epoch:
+        rng = jax.random.fold_in(rng, start_epoch)  # distinct stream on resume
+    runner = _run_profiled if config.profile_phases else _run_fused
+    params, ov_state, og_state = runner(
+        loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
+        model, log, history, start_epoch,
+    )
 
     if config.outdir:
         save_pytree(
             os.path.join(config.outdir, "final_state"),
             {
                 "params": params,
+                "ov_state": ov_state,
+                "og_state": og_state,
                 **({"fixed_W": fixed_W} if fixed_W is not None else {}),
                 "epoch": config.epochs,
             },
@@ -433,9 +454,9 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
 
 
 def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
-               model, log, history):
+               model, log, history, start_epoch=0):
     a = arrays
-    done = 0
+    done = start_epoch
     fused_cache: dict[int, Any] = {}
     while done < config.epochs:
         e = min(config.epochs_per_dispatch, config.epochs - done)
@@ -462,13 +483,14 @@ def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
         if config.outdir:
             _epoch_artifacts(
                 model, params, a["images_tr"], y_pred, a["y_ho"], config,
-                done - 1, rng,
+                done - 1, rng, fixed_W=fixed_W, ov_state=ov_state,
+                og_state=og_state,
             )
     return params, ov_state, og_state
 
 
 def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
-                  config, model, log, history):
+                  config, model, log, history, start_epoch=0):
     a = arrays
     refresh_solve = jax.jit(loop.refresh_and_solve)
     minibatch = jax.jit(loop.minibatch_epoch, donate_argnums=(0, 1, 2))
@@ -477,7 +499,7 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
         lambda p: _encode_all(loop.model, p["vae"], a["images_tr"], loop.chunk)
     )
     timer = PhaseTimer()
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
         rng, epoch_key = jax.random.split(rng)
         with timer.phase("A_refresh_B_solve"):
@@ -520,12 +542,14 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
         if config.outdir:
             _epoch_artifacts(
                 model, params, a["images_tr"], y_pred, a["y_ho"], config,
-                epoch, epoch_key,
+                epoch, epoch_key, fixed_W=fixed_W, ov_state=ov_state,
+                og_state=og_state,
             )
     return params, ov_state, og_state
 
 
-def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch, key):
+def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
+                     key, *, fixed_W=None, ov_state=None, og_state=None):
     last = epoch >= config.epochs - 1
     if config.panel_every and (epoch % config.panel_every == 0 or last):
         y = images_tr[:8]
@@ -541,8 +565,14 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch, key)
         )
     if config.checkpoint_every and epoch % config.checkpoint_every == 0 and not last:
         save_pytree(
-            os.path.join(config.outdir, f"state_{epoch:04d}"),
-            {"params": params, "epoch": epoch},
+            os.path.join(config.outdir, f"state_{epoch + 1:04d}"),
+            {
+                "params": params,
+                "ov_state": ov_state,
+                "og_state": og_state,
+                **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+                "epoch": epoch + 1,  # epochs completed — resume from here
+            },
         )
 
 
@@ -556,6 +586,8 @@ def main(argv=None):
     p.add_argument("--mode", default="joint", choices=["joint", "dis"])
     p.add_argument("--vae_weights", default=None,
                    help="pretrained VAE weights from train_vae (handoff artifact)")
+    p.add_argument("--resume", default=None,
+                   help="full-state checkpoint (final_state / state_NNNN) to resume")
     p.add_argument("--zdim", type=int, default=16)
     p.add_argument("--bs", type=int, default=128)
     p.add_argument("--lr", type=float, default=2e-4, help="VAE learning rate")
@@ -581,6 +613,7 @@ def main(argv=None):
         lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
         obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
         compute_dtype=args.dtype, vae_weights=args.vae_weights,
+        resume=args.resume,
         epochs_per_dispatch=args.epochs_per_dispatch,
         profile_phases=args.profile_phases,
         outdir=args.outdir, panel_every=args.panel_every,
