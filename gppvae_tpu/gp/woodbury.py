@@ -133,16 +133,10 @@ def gp_nll_from_features(
         v_sigs = [v_sigs]
     U = _scaled_features(Vs, [jnp.asarray(v) for v in v_sigs])
     N, L = Z.shape
-    R = U.shape[1]
     G, UtZ, znorm2 = ops.factor_prep(U, Z)
-    B = jnp.eye(R, dtype=U.dtype) + G / v_noise
-    Lb = jax.lax.linalg.cholesky(B)
-    logdet = N * jnp.log(v_noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
-    W = jax.scipy.linalg.solve_triangular(Lb, UtZ, lower=True)
-    quad = (znorm2 - ops.sqnorm(W) / v_noise) / v_noise
-    nll = 0.5 * (L * logdet + quad)
-    if include_const:
-        nll = nll + 0.5 * N * L * _LOG2PI
+    nll = ops.woodbury_nll_core(G, UtZ, znorm2, jnp.asarray(v_noise), N, L)
+    if not include_const:
+        nll = nll - 0.5 * N * L * _LOG2PI
     return nll
 
 

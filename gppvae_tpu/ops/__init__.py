@@ -25,6 +25,7 @@ from gppvae_tpu.ops.dispatch import (
     matmul_tn,
     matmul_nn,
     sqnorm,
+    woodbury_nll_core,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "matmul_tn",
     "matmul_nn",
     "sqnorm",
+    "woodbury_nll_core",
 ]

@@ -48,7 +48,7 @@ def _load_pallas() -> None:
         return
     _PALLAS_LOADED = True
     try:
-        from gppvae_tpu.ops import pallas_gemm  # noqa: F401  (self-registers)
+        from gppvae_tpu.ops import pallas_chol, pallas_gemm  # noqa: F401
     except Exception:  # pragma: no cover — platform without pallas support
         pass
 
@@ -97,6 +97,20 @@ def _xla_factor_prep(U: jax.Array, Z: jax.Array):
     )
 
 
+def _xla_woodbury_nll_core(G, UtZ, zn, vn, n_rows, l_dims):
+    import math
+
+    R = G.shape[0]
+    B = jnp.eye(R, dtype=G.dtype) + G / vn
+    Lb = jax.lax.linalg.cholesky(B)
+    logdet = n_rows * jnp.log(vn) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+    W = jax.scipy.linalg.solve_triangular(Lb, UtZ, lower=True)
+    quad = (zn - jnp.sum(jnp.square(W)) / vn) / vn
+    return 0.5 * (
+        l_dims * logdet + quad + n_rows * l_dims * math.log(2.0 * math.pi)
+    )
+
+
 # ------------------------------------------------------------- public ops
 
 
@@ -124,3 +138,14 @@ def factor_prep(U: jax.Array, Z: jax.Array, *, impl: str | None = None):
     """(Uᵀ U, Uᵀ Z, ‖Z‖²) — the Phase-B factor prep, fused in one HBM pass
     on the pallas backend (SURVEY.md §3.3's Gram + projection + reduction)."""
     return _dispatch("factor_prep", _xla_factor_prep, impl, U, Z)
+
+
+def woodbury_nll_core(G, UtZ, zn, vn, n_rows, l_dims, *, impl: str | None = None):
+    """The NLL tail from the R-sized core: Cholesky of B = I + G/vn,
+    triangular solve, log-det and quadratic form → scalar NLL (with const).
+    One fused kernel + hand-derived VJP on the pallas backend; n_rows/l_dims
+    are the true (unpadded) N and L."""
+    return _dispatch(
+        "woodbury_nll_core", _xla_woodbury_nll_core, impl,
+        G, UtZ, zn, vn, n_rows, l_dims,
+    )

@@ -106,3 +106,67 @@ def test_factor_prep_on_tpu_compiled():
     np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(utz, utz_ref, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(zn, zn_ref, rtol=1e-4)
+
+
+class TestNLLCore:
+    """Fused chol+trisolve+logdet kernel and its hand-derived VJP."""
+
+    def _problem(self, seed=0, n=500, r=24, l=9):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        U = jax.random.normal(k1, (n, r), jnp.float32)
+        Z = jax.random.normal(k2, (n, l), jnp.float32)
+        G = U.T @ U
+        UtZ = U.T @ Z
+        zn = jnp.sum(Z * Z)
+        vn = jnp.float32(0.37)
+        return G, UtZ, zn, vn, n, l
+
+    @pytest.mark.parametrize("r,l", [(24, 9), (128, 128), (56, 16), (3, 1)])
+    def test_value_matches_xla(self, r, l):
+        G, UtZ, zn, vn, n, l = self._problem(0, 500, r, l)
+        ref = ops.woodbury_nll_core(G, UtZ, zn, vn, n, l, impl="xla")
+        out = ops.woodbury_nll_core(G, UtZ, zn, vn, n, l, impl="pallas")
+        np.testing.assert_allclose(out, ref, rtol=3e-6)
+
+    def test_hand_vjp_matches_autodiff(self):
+        G, UtZ, zn, vn, n, l = self._problem(1)
+
+        def f(impl):
+            return lambda G, UtZ, zn, vn: ops.woodbury_nll_core(
+                G, UtZ, zn, vn, n, l, impl=impl
+            )
+
+        ref = jax.grad(f("xla"), argnums=(0, 1, 2, 3))(G, UtZ, zn, vn)
+        out = jax.grad(f("pallas"), argnums=(0, 1, 2, 3))(G, UtZ, zn, vn)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+    def test_full_nll_gradients_both_backends(self):
+        # end-to-end: grad of gp_nll_from_features w.r.t. (Z, V, variances)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        V = jax.random.normal(k1, (300, 20), jnp.float32)
+        Z = jax.random.normal(k2, (300, 8), jnp.float32)
+
+        def nll(Z, V, lvs, lvn, impl):
+            with ops.use_backend(impl):
+                return gp.gp_nll_from_features(
+                    Z, V, jnp.exp(lvs), jnp.exp(lvn)
+                )
+
+        args = (Z, V, jnp.float32(-0.2), jnp.float32(-1.0))
+        ref = jax.grad(nll, argnums=(0, 1, 2, 3))(*args, "xla")
+        out = jax.grad(nll, argnums=(0, 1, 2, 3))(*args, "pallas")
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.tpu
+def test_nll_core_on_tpu_compiled():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    U = jax.random.normal(k1, (6400, 56), jnp.float32)
+    Z = jax.random.normal(k2, (6400, 16), jnp.float32)
+    G, UtZ, zn = U.T @ U, U.T @ Z, jnp.sum(Z * Z)
+    vn = jnp.float32(0.4)
+    ref = ops.woodbury_nll_core(G, UtZ, zn, vn, 6400, 16, impl="xla")
+    out = ops.woodbury_nll_core(G, UtZ, zn, vn, 6400, 16, impl="pallas")
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
