@@ -27,11 +27,11 @@ def main():
         "synthetic", num_objects=400, num_views=16, image_size=32, seed=0,
         cache_dir="/tmp/gppvae_bench_cache",
     )
-    epochs = 15
+    epochs = 30
     config = GPPVAETrainConfig(
         mode="joint", zdim=16, epochs=epochs, batch_size=128,
         obj_feature_dim=8, view_num_freqs=3, seed=0,
-        epochs_per_dispatch=5,  # fused pipeline: one host sync per 5 epochs
+        epochs_per_dispatch=10,  # fused pipeline: one host sync per 10 epochs
     )
 
     class _Null(MetricsLogger):
@@ -49,7 +49,7 @@ def main():
     total = time.perf_counter() - t0
 
     # drop the first dispatch (compile); median of the steady-state epochs
-    times = sorted(h["sec_epoch"] for h in result.history[5:])
+    times = sorted(h["sec_epoch"] for h in result.history[10:])
     sec_epoch = times[len(times) // 2]
 
     baseline = None
@@ -68,7 +68,7 @@ def main():
         "extra": {
             "device": str(jax.devices()[0]),
             "n_train": int(len(ds.train_idx)),
-            "epochs_timed": epochs - 5,
+            "epochs_timed": epochs - 10,
             "total_wall_s": round(total, 1),
             "final_oos_mse": round(result.history[-1]["oos_mse"], 5),
         },

@@ -1,0 +1,37 @@
+"""Unified CLI: python -m gppvae_tpu <command> [args...]
+
+Commands mirror the reference's per-script entry points (SURVEY.md §2.1)
+plus the rebuild's eval tooling:
+
+    train-vae     vanilla conv-VAE pretrain          (train/train_vae.py)
+    train-gppvae  GPPVAE dis/joint training          (train/train_gppvae.py)
+    generate      out-of-sample conditional generation (eval/generate.py)
+    plot          history figure from metrics.jsonl  (eval/plots.py)
+"""
+
+import sys
+
+_COMMANDS = {
+    "train-vae": ("gppvae_tpu.train.train_vae", "main"),
+    "train-gppvae": ("gppvae_tpu.train.train_gppvae", "main"),
+    "generate": ("gppvae_tpu.eval.generate", "main"),
+    "plot": ("gppvae_tpu.eval.plots", "main"),
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        raise SystemExit(0 if len(sys.argv) >= 2 else 1)
+    cmd = sys.argv[1]
+    if cmd not in _COMMANDS:
+        print(f"unknown command {cmd!r}; choose from {sorted(_COMMANDS)}")
+        raise SystemExit(2)
+    import importlib
+
+    module, fn = _COMMANDS[cmd]
+    getattr(importlib.import_module(module), fn)(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -33,10 +33,19 @@ def generate_heldout(
     zdim: int,
     enc_features=(32, 64, 128),
     dec_features=(128, 64, 32),
+    object_kernel: str = "linear",
+    rff_features: int = 32,
+    rff_lengthscale: float = 1.0,
+    seed: int = 0,
 ) -> tuple[np.ndarray, float]:
     """Returns (predicted heldout images, pixel MSE vs ground truth)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
+    x_map = None
+    if object_kernel == "rbf":
+        x_map, _ = gp.make_rff_map(
+            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
+        )
     model = VAE(
         zdim=zdim,
         image_shape=tuple(dataset.image_shape),
@@ -53,12 +62,13 @@ def generate_heldout(
         Z0, _ = model.apply(params["vae"], images_tr, method=VAE.encode)
         W = params["gp"].get("W", fixed_W)
         X = params["gp"]["X"]
-        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
+        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True,
+                          normalize_W=True, x_map=x_map)
         V_ho = gp.build_V(
             X, W,
             jnp.asarray(dataset.object_ids[ho]),
             jnp.asarray(dataset.view_ids[ho]),
-            normalize_X=True, normalize_W=True,
+            normalize_X=True, normalize_W=True, x_map=x_map,
         )
         v_sig = jnp.exp(params["gp"]["log_vs"])
         v_noise = jnp.exp(params["gp"]["log_vn"])
@@ -89,21 +99,22 @@ def main(argv=None):
     # model architecture from the run's sidecar config.json (written by
     # train_gppvae next to its checkpoints), overridable by --zdim
     run_dir = os.path.dirname(os.path.abspath(args.state))
-    arch = {"zdim": 16, "enc_features": (32, 64, 128), "dec_features": (128, 64, 32)}
+    arch = {
+        "zdim": 16, "enc_features": (32, 64, 128),
+        "dec_features": (128, 64, 32), "object_kernel": "linear",
+        "rff_features": 32, "rff_lengthscale": 1.0, "seed": 0,
+    }
     cfg_path = os.path.join(run_dir, "config.json")
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             saved = json.load(f)
-        arch = {k: saved[k] for k in arch}
+        arch.update({k: saved[k] for k in arch if k in saved})
     if args.zdim is not None:
         arch["zdim"] = args.zdim
 
     ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
     state = load_pytree(args.state)
-    y_pred, mse = generate_heldout(
-        state, ds, zdim=arch["zdim"],
-        enc_features=arch["enc_features"], dec_features=arch["dec_features"],
-    )
+    y_pred, mse = generate_heldout(state, ds, **arch)
     print(json.dumps({"heldout_mse": mse, "n_heldout": len(ds.heldout_idx)}))
     outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
     save_panel(

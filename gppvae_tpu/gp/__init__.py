@@ -29,6 +29,7 @@ from gppvae_tpu.gp.features import (
     build_V,
     fourier_view_features,
     kron_rows,
+    make_rff_map,
     normalize_rows,
     polynomial_view_features,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "build_V",
     "fourier_view_features",
     "kron_rows",
+    "make_rff_map",
     "normalize_rows",
     "polynomial_view_features",
     "surrogate_batch_term",

@@ -81,6 +81,41 @@ def polynomial_view_features(
     return W / jnp.linalg.norm(W, axis=1, keepdims=True)
 
 
+def make_rff_map(
+    in_dim: int,
+    num_features: int,
+    lengthscale: float = 1.0,
+    seed: int = 0,
+):
+    """Random Fourier feature map φ: R^in_dim → R^num_features.
+
+    φ(f) = √(2/m)·cos(f Ω/ℓ + b) with fixed Ω ~ N(0, I), b ~ U[0, 2π), so
+    E[φ(f)·φ(f')] = exp(−‖f−f'‖²/(2ℓ²)) — an RBF kernel at rank m. Applied
+    to the *learned* object features it upgrades the object kernel from
+    linear to stationary-nonlinear while keeping the whole GP inside the
+    same low-rank Woodbury machinery (rank m·M_w instead of an N×N dense
+    kernel). This is the TPU-native realization of the fork's sparse-GP
+    scaling direction (SURVEY.md §2.1 "thesis extensions"; cf. PAPERS.md
+    inverse-free SVGP / scalable log-det lines): approximation rank is a
+    config knob, solves stay O(N·R²).
+
+    The map is differentiable in f, so minibatch gradients flow through it
+    to the learned features exactly as in the linear case. Returns
+    (map_fn, out_dim).
+    """
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    omega = jax.random.normal(k1, (in_dim, num_features), jnp.float32)
+    phase = jax.random.uniform(
+        k2, (num_features,), jnp.float32, 0.0, 2.0 * jnp.pi
+    )
+    scale = jnp.sqrt(2.0 / num_features)
+
+    def map_fn(F: jax.Array) -> jax.Array:
+        return scale * jnp.cos(F @ (omega / lengthscale) + phase)
+
+    return map_fn, num_features
+
+
 def kron_rows(Xrows: jax.Array, Wrows: jax.Array) -> jax.Array:
     """Row-wise Kronecker (Khatri–Rao) product.
 
@@ -103,16 +138,22 @@ def build_V(
     *,
     normalize_X: bool = True,
     normalize_W: bool = False,
+    x_map=None,
 ) -> jax.Array:
     """Gather per-sample object/view features and form V rows.
 
     X: (P, M) object features; W: (Q, M_w) view features; object_ids /
-    view_ids: (n,) int32. Returns V: (n, M·M_w). Differentiable w.r.t. X and
-    W (gather + outer product), so minibatch GP-surrogate gradients flow to
-    the feature matrices exactly as in the reference's joint mode.
+    view_ids: (n,) int32. Returns V: (n, M'·M_w). Differentiable w.r.t. X
+    and W (gather + outer product), so minibatch GP-surrogate gradients flow
+    to the feature matrices exactly as in the reference's joint mode.
+
+    x_map: optional feature map applied to the (normalized) object features
+    (e.g. make_rff_map for an RBF object kernel); None = linear kernel.
     """
     if normalize_X:
         X = normalize_rows(X)
     if normalize_W:
         W = normalize_rows(W)
+    if x_map is not None:
+        X = x_map(X)
     return kron_rows(X[object_ids], W[view_ids])

@@ -81,6 +81,12 @@ class GPPVAETrainConfig:
     obj_feature_dim: int = 8
     view_num_freqs: int = 3  # fixed Fourier view features → M_w = 2f+1
     view_feature_dim: int | None = None  # learned W dim (joint); default 2f+1
+    # object kernel: 'linear' (reference) or 'rbf' via random Fourier
+    # features over the learned object embeddings (thesis-extension stretch,
+    # SURVEY.md §2.1; rank becomes rff_features·M_w)
+    object_kernel: str = "linear"
+    rff_features: int = 32
+    rff_lengthscale: float = 1.0
     init_v_sig: float = 1.0
     init_v_noise: float = 0.5
     enc_features: Sequence[int] = (32, 64, 128)
@@ -171,6 +177,16 @@ class _Loop:
         self.config = config
         self.num_train = num_train
         self.learn_W = config.mode == "joint"
+        self.x_map = None
+        if config.object_kernel == "rbf":
+            self.x_map, _ = gp.make_rff_map(
+                config.obj_feature_dim, config.rff_features,
+                config.rff_lengthscale, seed=config.seed,
+            )
+        elif config.object_kernel != "linear":
+            raise ValueError(
+                f"unknown object_kernel {config.object_kernel!r}"
+            )
         self.batch_sharding = row_sharding(mesh) if mesh is not None else None
         self.chunk = num_train if mesh is not None else min(
             config.encode_chunk, num_train
@@ -185,7 +201,7 @@ class _Loop:
         Z0 = _encode_all(self.model, params["vae"], images_tr, self.chunk)
         W = params["gp"]["W"] if self.learn_W else fixed_W
         V0 = gp.build_V(params["gp"]["X"], W, d_tr, q_tr,
-                        normalize_X=True, normalize_W=True)
+                        normalize_X=True, normalize_W=True, x_map=self.x_map)
         coeffs = gp.taylor_expand(_gp_nll_fn, Z0, V0, _split_gp_aux(params["gp"]))
         return Z0, coeffs
 
@@ -214,7 +230,8 @@ class _Loop:
                 )
                 W = p["gp"]["W"] if learn_W else fixed_W
                 v = gp.build_V(p["gp"]["X"], W, d_tr[pos], q_tr[pos],
-                               normalize_X=True, normalize_W=True)
+                               normalize_X=True, normalize_W=True,
+                               x_map=self.x_map)
                 aux = _split_gp_aux(p["gp"])
                 gp_term = gp.surrogate_batch_term(
                     coeffs, pos, z, v, aux, num_train
@@ -246,8 +263,10 @@ class _Loop:
     def oos(self, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
         W = params["gp"]["W"] if self.learn_W else fixed_W
         X = params["gp"]["X"]
-        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True)
-        V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True)
+        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True,
+                          normalize_W=True, x_map=self.x_map)
+        V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True,
+                          normalize_W=True, x_map=self.x_map)
         v_sig = jnp.exp(params["gp"]["log_vs"])
         v_noise = jnp.exp(params["gp"]["log_vn"])
         factors = gp.factorize(V_tr, v_sig, v_noise)

@@ -187,3 +187,16 @@ class TestTaylor:
         np.testing.assert_allclose(g_sur[1], g_full[1], rtol=1e-10)
         for a, b in zip(jax.tree.leaves(g_sur[2]), jax.tree.leaves(g_full[2])):
             np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_rff_map_approximates_rbf_kernel():
+    from gppvae_tpu import gp
+
+    key = jax.random.PRNGKey(20)
+    F = jax.random.normal(key, (12, 4), jnp.float64) * 0.7
+    ell = 0.9
+    phi, m = gp.make_rff_map(4, 4096, lengthscale=ell, seed=1)
+    K_hat = phi(F.astype(jnp.float32)) @ phi(F.astype(jnp.float32)).T
+    d2 = jnp.sum((F[:, None, :] - F[None, :, :]) ** 2, axis=-1)
+    K_true = jnp.exp(-d2 / (2 * ell**2))
+    np.testing.assert_allclose(K_hat, K_true, atol=0.08)
