@@ -42,12 +42,14 @@ class GPFactors(NamedTuple):
 
     Attributes:
       U:       (N, R) scaled feature rows [√v_r · V_r]_r concatenated.
+      G:       (R, R) Gram Uᵀ U.
       Lb:      (R, R) lower Cholesky factor of B = I + Uᵀ U / v_n.
       v_noise: () positive noise variance v_n.
       logdet:  () log|K| = N log v_n + 2·Σ log diag(Lb).
     """
 
     U: jax.Array
+    G: jax.Array
     Lb: jax.Array
     v_noise: jax.Array
     logdet: jax.Array
@@ -74,7 +76,7 @@ def factorize(
     B = jnp.eye(R, dtype=U.dtype) + G / v_noise
     Lb = jax.lax.linalg.cholesky(B)
     logdet = N * jnp.log(v_noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
-    return GPFactors(U=U, Lb=Lb, v_noise=jnp.asarray(v_noise), logdet=logdet)
+    return GPFactors(U=U, G=G, Lb=Lb, v_noise=jnp.asarray(v_noise), logdet=logdet)
 
 
 def kinv_z_core(factors: GPFactors, Z: jax.Array) -> jax.Array:
@@ -145,12 +147,22 @@ def predict_latents(
     factors: GPFactors,
     Z: jax.Array,
     v_sigs: Sequence[jax.Array] | jax.Array,
-) -> jax.Array:
-    """GP-predictive latent means for out-of-sample rows (SURVEY.md §3.4).
+    *,
+    return_var: bool = False,
+):
+    """GP-predictive latents for out-of-sample rows (SURVEY.md §3.4).
 
-    z* = K(*, train) K⁻¹ Z = U* · (B⁻¹ Uᵀ Z) / v_n, with U* the scaled
+    Mean: z* = K(*, train) K⁻¹ Z = U* · (B⁻¹ Uᵀ Z) / v_n, with U* the scaled
     features of the held-out (object, view) pairs. Decoder(z*) is the
     conditional generation from (object, view) alone — no encoder involved.
+
+    With return_var=True also returns the (n*,) per-row posterior variance,
+    shared across the L iid latent dims:
+
+        var* = k(*,*) − k(*,·) K⁻¹ k(·,*)
+             = u*ᵀu* + v_n − u*ᵀ G B⁻¹ u* / v_n
+
+    using K⁻¹U = U B⁻¹ / v_n ⇒ UᵀK⁻¹U = G B⁻¹ / v_n — everything R-sized.
     """
     if isinstance(V_star, jax.Array) or not isinstance(V_star, (list, tuple)):
         V_star = [V_star]
@@ -158,4 +170,10 @@ def predict_latents(
         v_sigs = [v_sigs]
     U_star = _scaled_features(V_star, [jnp.asarray(v) for v in v_sigs])
     M = kinv_z_core(factors, Z)  # (R, L)
-    return U_star @ M
+    mean = U_star @ M
+    if not return_var:
+        return mean
+    Y = jax.scipy.linalg.cho_solve((factors.Lb, True), U_star.T)  # B⁻¹ U*ᵀ
+    quad = jnp.sum(U_star.T * (factors.G @ Y), axis=0) / factors.v_noise
+    var = jnp.sum(jnp.square(U_star), axis=1) + factors.v_noise - quad
+    return mean, var

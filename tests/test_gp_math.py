@@ -200,3 +200,22 @@ def test_rff_map_approximates_rbf_kernel():
     d2 = jnp.sum((F[:, None, :] - F[None, :, :]) ** 2, axis=-1)
     K_true = jnp.exp(-d2 / (2 * ell**2))
     np.testing.assert_allclose(K_hat, K_true, atol=0.08)
+
+
+def test_predictive_variance_matches_dense():
+    key = jax.random.PRNGKey(21)
+    Z, V, v_sig, v_noise, (X, W, d, q) = _random_problem(key)
+    d_star = jnp.array([1, 4, 9], dtype=d.dtype)
+    q_star = jnp.array([0, 2, 3], dtype=q.dtype)
+    V_star = gp.build_V(X, W, d_star, q_star, normalize_X=True, normalize_W=True)
+
+    factors = gp.factorize(V, v_sig, v_noise)
+    mean, var = gp.predict_latents(V_star, factors, Z, v_sig, return_var=True)
+
+    K = dense.materialize_K(V, v_sig, v_noise)
+    K_star = v_sig * (V_star @ V.T)
+    k_ss = v_sig * jnp.sum(V_star * V_star, axis=1) + v_noise
+    var_dense = k_ss - jnp.sum(K_star * jnp.linalg.solve(K, K_star.T).T, axis=1)
+    np.testing.assert_allclose(mean, dense.dense_predict(K_star, K, Z), rtol=1e-8)
+    np.testing.assert_allclose(var, var_dense, rtol=1e-8)
+    assert (np.asarray(var) > 0).all()
