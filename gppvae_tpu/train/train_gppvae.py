@@ -96,6 +96,7 @@ class GPPVAETrainConfig:
     resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     epochs_per_dispatch: int = 1  # fused pipeline super-step size
+    scan_unroll: int = 1  # minibatch-scan unroll factor (TPU loop overhead)
     profile_phases: bool = False  # phase-per-dispatch path with timings
     profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5)
     encode_chunk: int = 1024  # Phase-A scan chunk (activation footprint cap)
@@ -255,7 +256,8 @@ class _Loop:
         batches = perm.reshape(self.nb, bs)
         step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), self.nb)
         (params, ov_state, og_state), metrics = jax.lax.scan(
-            minibatch_step, (params, ov_state, og_state), (batches, step_keys)
+            minibatch_step, (params, ov_state, og_state), (batches, step_keys),
+            unroll=min(config.scan_unroll, self.nb),
         )
         return params, ov_state, og_state, jnp.mean(metrics, axis=0)
 

@@ -25,6 +25,7 @@ from gppvae_tpu.checkpoint import save_pytree, save_vae_weights
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE
+from gppvae_tpu.parallel import replicated, row_sharding, shard_rows
 from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
 from gppvae_tpu.utils import MetricsLogger
 
@@ -70,7 +71,7 @@ def _build_model(config: VAETrainConfig, image_shape) -> VAE:
 
 def make_epochs_fn(
     model: VAE, optimizer, config: VAETrainConfig, num_train: int,
-    n_epochs: int,
+    n_epochs: int, mesh=None,
 ):
     """One jit dispatch = `n_epochs` epochs: outer scan over epochs, inner
     scan over permuted minibatches; per-epoch val metrics computed inside
@@ -80,6 +81,7 @@ def make_epochs_fn(
     nb = num_train // bs
     if nb == 0:
         raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+    batch_sharding = row_sharding(mesh) if mesh is not None else None
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epochs_fn(params, opt_state, images, train_idx, val_idx, base_key):
@@ -89,6 +91,9 @@ def make_epochs_fn(
 
             def loss_fn(p):
                 y = images[batch_idx]
+                if batch_sharding is not None:
+                    # DP: shard the gathered batch rows across the mesh
+                    y = jax.lax.with_sharding_constraint(y, batch_sharding)
                 logits, mu, logvar, _ = model.apply(p, y, step_key)
                 recon, mse = gaussian_recon_nll(
                     y, jax.nn.sigmoid(logits), config.sigma_y
@@ -138,7 +143,11 @@ def make_epochs_fn(
 
 
 def train_vae(
-    dataset: GridDataset, config: VAETrainConfig, *, log: MetricsLogger | None = None
+    dataset: GridDataset,
+    config: VAETrainConfig,
+    *,
+    mesh=None,
+    log: MetricsLogger | None = None,
 ) -> VAETrainResult:
     own_log = log is None
     log = log or MetricsLogger(config.outdir)
@@ -149,8 +158,17 @@ def train_vae(
     images = jnp.asarray(dataset.images)  # HBM-resident for the whole run
     train_idx = jnp.asarray(dataset.train_idx)
     val_idx = jnp.asarray(dataset.val_idx) if len(dataset.val_idx) else None
+    if mesh is not None:
+        # pad rows to an even shard split (padding rows are never indexed)
+        n_dev = mesh.devices.size
+        pad = (-images.shape[0]) % n_dev
+        if pad:
+            images = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        images = shard_rows(mesh, images)
 
     params = model.init(init_key, images[:1], sample_key)
+    if mesh is not None:
+        params = jax.device_put(params, replicated(mesh))
     optimizer = optax.adam(config.lr)
     opt_state = optimizer.init(params)
 
@@ -161,7 +179,7 @@ def train_vae(
         e = min(config.epochs_per_dispatch, config.epochs - done)
         if e not in fns:
             fns[e] = make_epochs_fn(
-                model, optimizer, config, len(dataset.train_idx), e
+                model, optimizer, config, len(dataset.train_idx), e, mesh
             )
         t0 = time.perf_counter()
         rng, step_key, eval_key = jax.random.split(rng, 3)

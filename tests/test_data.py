@@ -104,3 +104,40 @@ def test_faceplace_h5_roundtrip(tmp_path):
     assert ds.images.shape == (P * Q, S, S, 3)
     assert ds.num_objects == P and ds.num_views == Q
     assert ds.images.max() <= 1.0
+
+
+def test_mnist_idx_roundtrip(tmp_path):
+    """Write a synthetic idx pair, load through the mnist:<dir> source."""
+    import gzip
+    import struct
+
+    from gppvae_tpu.data.mnist_idx import load_mnist_train, read_idx
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((40, 28, 28)) * 255).astype(np.uint8)
+    labels = np.full((40,), 3, dtype=np.uint8)
+
+    def write_idx(path, arr, gz=False):
+        op = gzip.open if gz else open
+        with op(path, "wb") as f:
+            f.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+            f.write(struct.pack(">" + "I" * arr.ndim, *arr.shape))
+            f.write(arr.tobytes())
+
+    write_idx(tmp_path / "train-images-idx3-ubyte", imgs)
+    write_idx(tmp_path / "train-labels-idx1-ubyte.gz", labels, gz=True)
+
+    images, lab = load_mnist_train(str(tmp_path))
+    assert images.shape == (40, 28, 28)
+    np.testing.assert_allclose(images, imgs / 255.0, atol=1e-7)
+    np.testing.assert_array_equal(lab, 3)
+
+    ds = build_rotated_digits(
+        f"mnist:{tmp_path}", digit=3, num_objects=10, num_views=4, seed=0
+    )
+    assert ds.images.shape == (40, 32, 32, 1)
+
+    # corrupt magic → named error
+    (tmp_path / "bad").write_bytes(b"\x01\x02\x03\x04rest")
+    with pytest.raises(ValueError, match="not an IDX file"):
+        read_idx(str(tmp_path / "bad"))

@@ -76,3 +76,20 @@ def test_gppvae_trains_on_mesh():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     assert np.isfinite(result.history[-1]["oos_mse"])
+
+
+def test_vae_trains_on_mesh():
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import VAETrainConfig, train_vae
+
+    # 13 objects × 8 views = 104 rows: NOT divisible by 8 (exercises padding)
+    ds = build_rotated_digits("synthetic", num_objects=13, num_views=8, seed=0)
+    mesh = make_mesh(8)
+    config = VAETrainConfig(
+        zdim=8, epochs=2, batch_size=16, enc_features=(8, 16),
+        dec_features=(16, 8), epochs_per_dispatch=2,
+    )
+    result = train_vae(ds, config, mesh=mesh)
+    losses = [h["loss"] for h in result.history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
