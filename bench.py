@@ -21,7 +21,7 @@ def main():
 
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
-    from gppvae_tpu.utils.metrics import MetricsLogger
+    from gppvae_tpu.utils.metrics import NullLogger
 
     ds = build_rotated_digits(
         "synthetic", num_objects=400, num_views=16, image_size=32, seed=0,
@@ -34,18 +34,8 @@ def main():
         epochs_per_dispatch=10,  # fused pipeline: one host sync per 10 epochs
     )
 
-    class _Null(MetricsLogger):
-        def __init__(self):
-            pass
-
-        def log(self, record):
-            pass
-
-        def close(self):
-            pass
-
     t0 = time.perf_counter()
-    result = train_gppvae(ds, config, log=_Null())
+    result = train_gppvae(ds, config, log=NullLogger())
     total = time.perf_counter() - t0
 
     # drop the first dispatch (compile); median of the steady-state epochs

@@ -5,6 +5,6 @@ train_gppvae.py (SURVEY.md §2.1, §3.4).
 """
 
 from gppvae_tpu.eval.panels import save_panel
-from gppvae_tpu.eval.oos import oos_predict_images
+from gppvae_tpu.eval.oos import oos_predict_images, predict_heldout
 
-__all__ = ["save_panel", "oos_predict_images"]
+__all__ = ["save_panel", "oos_predict_images", "predict_heldout"]

@@ -21,9 +21,9 @@ import numpy as np
 from gppvae_tpu import gp
 from gppvae_tpu.checkpoint import load_pytree
 from gppvae_tpu.data.dataset import GridDataset
-from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
+from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
-from gppvae_tpu.models import VAE
+from gppvae_tpu.models import VAE, encode_all
 
 
 def generate_heldout(
@@ -56,26 +56,18 @@ def generate_heldout(
     images_tr = jnp.asarray(dataset.images[tr])
     d_tr = jnp.asarray(dataset.object_ids[tr])
     q_tr = jnp.asarray(dataset.view_ids[tr])
+    chunk = min(1024, len(tr))  # same activation cap as the trainer's Phase A
 
     @jax.jit
     def run(params, fixed_W):
-        Z0, _ = model.apply(params["vae"], images_tr, method=VAE.encode)
-        W = params["gp"].get("W", fixed_W)
-        X = params["gp"]["X"]
-        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True,
-                          normalize_W=True, x_map=x_map)
-        V_ho = gp.build_V(
-            X, W,
+        Z0 = encode_all(model, params["vae"], images_tr, chunk)
+        return predict_heldout(
+            model, params, fixed_W, Z0, d_tr, q_tr,
             jnp.asarray(dataset.object_ids[ho]),
             jnp.asarray(dataset.view_ids[ho]),
-            normalize_X=True, normalize_W=True, x_map=x_map,
+            jnp.asarray(dataset.images[ho]),
+            x_map=x_map,
         )
-        v_sig = jnp.exp(params["gp"]["log_vs"])
-        v_noise = jnp.exp(params["gp"]["log_vn"])
-        factors = gp.factorize(V_tr, v_sig, v_noise)
-        decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
-        y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
-        return y_pred, pixel_mse(jnp.asarray(dataset.images[ho]), y_pred)
 
     y_pred, mse = run(params, fixed_W)
     return np.asarray(y_pred), float(mse)

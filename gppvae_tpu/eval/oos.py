@@ -29,3 +29,39 @@ def oos_predict_images(
 
 def pixel_mse(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(y_true - y_pred))
+
+
+def predict_heldout(
+    model,
+    params,
+    fixed_W,
+    Z0: jax.Array,
+    d_tr: jax.Array,
+    q_tr: jax.Array,
+    d_ho: jax.Array,
+    q_ho: jax.Array,
+    y_ho: jax.Array,
+    *,
+    x_map=None,
+):
+    """The full OOS pipeline shared by the trainers and the eval CLI:
+    build train/held-out feature rows from the current GP params, factorize,
+    GP-predict latents from Z0, decode, report pixel MSE.
+
+    params: {'vae': …, 'gp': {'X', ['W'], 'log_vs', 'log_vn'}}; fixed_W is
+    the dis-mode view feature matrix (ignored when params carry a learned W).
+    """
+    from gppvae_tpu.models import VAE
+
+    W = params["gp"].get("W", fixed_W)
+    X = params["gp"]["X"]
+    V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True,
+                      x_map=x_map)
+    V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True,
+                      x_map=x_map)
+    v_sig = jnp.exp(params["gp"]["log_vs"])
+    v_noise = jnp.exp(params["gp"]["log_vn"])
+    factors = gp.factorize(V_tr, v_sig, v_noise)
+    decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
+    y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
+    return y_pred, pixel_mse(y_ho, y_pred)

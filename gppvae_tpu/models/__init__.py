@@ -5,6 +5,12 @@ flax.linen modules; compute dtype is configurable (bfloat16 on TPU for the
 MXU, float32 params; the GP layer always consumes float32 latents).
 """
 
-from gppvae_tpu.models.vae import ConvDecoder, ConvEncoder, VAE, reparameterize
+from gppvae_tpu.models.vae import (
+    ConvDecoder,
+    ConvEncoder,
+    VAE,
+    encode_all,
+    reparameterize,
+)
 
-__all__ = ["ConvEncoder", "ConvDecoder", "VAE", "reparameterize"]
+__all__ = ["ConvEncoder", "ConvDecoder", "VAE", "encode_all", "reparameterize"]

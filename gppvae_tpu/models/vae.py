@@ -30,6 +30,28 @@ def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Arra
     return mu + jnp.exp(0.5 * logvar) * eps
 
 
+def encode_all(model: "VAE", vae_params, images: jax.Array, chunk: int) -> jax.Array:
+    """Grad-free full-dataset encode (latent means) — GPPVAE Phase A.
+
+    Chunked lax.scan caps the conv activation footprint at `chunk` rows
+    regardless of N; used by the trainers and the eval CLI alike.
+    """
+    n = images.shape[0]
+    if chunk >= n:
+        mu, _ = model.apply(vae_params, images, method=VAE.encode)
+        return mu
+    pad = (-n) % chunk
+    padded = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
+    chunks = padded.reshape(-1, chunk, *images.shape[1:])
+
+    def enc(_, y):
+        mu, _lv = model.apply(vae_params, y, method=VAE.encode)
+        return None, mu
+
+    _, Z = jax.lax.scan(enc, None, chunks)
+    return Z.reshape(-1, Z.shape[-1])[:n]
+
+
 class ConvEncoder(nn.Module):
     """Stride-2 conv stack → flatten → (z_mu, z_logvar) heads."""
 

@@ -54,9 +54,9 @@ import optax
 from gppvae_tpu import gp, ops
 from gppvae_tpu.checkpoint import load_pytree, load_vae_weights, save_pytree
 from gppvae_tpu.data.dataset import GridDataset
-from gppvae_tpu.eval.oos import oos_predict_images, pixel_mse
+from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
-from gppvae_tpu.models import VAE, reparameterize
+from gppvae_tpu.models import VAE, encode_all, reparameterize
 from gppvae_tpu.parallel import replicated, row_sharding, shard_rows, trim_to_multiple
 from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
 from gppvae_tpu.utils import MetricsLogger, PhaseTimer, maybe_trace
@@ -149,22 +149,7 @@ def _split_gp_aux(gp_params):
     return {"log_vs": gp_params["log_vs"], "log_vn": gp_params["log_vn"]}
 
 
-def _encode_all(model: VAE, vae_params, images, chunk: int):
-    """Grad-free full encode (Phase A). Chunked scan caps activations."""
-    n = images.shape[0]
-    if chunk >= n:
-        mu, _ = model.apply(vae_params, images, method=VAE.encode)
-        return mu
-    pad = (-n) % chunk
-    padded = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
-    chunks = padded.reshape(-1, chunk, *images.shape[1:])
-
-    def enc(_, y):
-        mu, _lv = model.apply(vae_params, y, method=VAE.encode)
-        return None, mu
-
-    _, Z = jax.lax.scan(enc, None, chunks)
-    return Z.reshape(-1, Z.shape[-1])[:n]
+_encode_all = encode_all  # Phase A = models.encode_all (shared with eval CLI)
 
 
 class _Loop:
@@ -263,18 +248,10 @@ class _Loop:
 
     # -- out-of-sample eval (given a fresh Z0 for the current params)
     def oos(self, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
-        W = params["gp"]["W"] if self.learn_W else fixed_W
-        X = params["gp"]["X"]
-        V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True,
-                          normalize_W=True, x_map=self.x_map)
-        V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True,
-                          normalize_W=True, x_map=self.x_map)
-        v_sig = jnp.exp(params["gp"]["log_vs"])
-        v_noise = jnp.exp(params["gp"]["log_vn"])
-        factors = gp.factorize(V_tr, v_sig, v_noise)
-        decode = lambda z: self.model.apply(params["vae"], z, method=VAE.decode)
-        y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
-        return y_pred, pixel_mse(y_ho, y_pred)
+        return predict_heldout(
+            self.model, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho,
+            x_map=self.x_map,
+        )
 
     # ---------------- fused multi-epoch pipeline (one dispatch) ----------
     def make_fused_fn(self, n_epochs: int):

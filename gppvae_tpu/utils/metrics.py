@@ -35,6 +35,16 @@ class MetricsLogger:
             self._fh = None
 
 
+class NullLogger(MetricsLogger):
+    """Metrics sink that discards everything (benchmarks, validation)."""
+
+    def __init__(self):
+        super().__init__(None)
+
+    def log(self, record) -> None:
+        pass
+
+
 def _jsonable(v):
     try:
         import numpy as np

@@ -17,14 +17,22 @@ def maybe_trace(trace_dir: str | None):
         return
     import jax
 
+    # guard only the profiler's startup — an exception from the traced BODY
+    # must propagate untouched, never be mislabeled as a profiler failure
+    cm = None
     try:
-        with jax.profiler.trace(trace_dir):
-            yield
+        cm = jax.profiler.trace(trace_dir)
+        cm.__enter__()
     except Exception as e:  # pragma: no cover — plugin without profiler
         import warnings
 
         warnings.warn(f"profiler trace unavailable: {e}")
+        cm = None
+    try:
         yield
+    finally:
+        if cm is not None:
+            cm.__exit__(None, None, None)
 
 
 def annotate(name: str):

@@ -31,17 +31,7 @@ def main():
     from gppvae_tpu.train import (
         GPPVAETrainConfig, VAETrainConfig, train_gppvae, train_vae,
     )
-    from gppvae_tpu.utils.metrics import MetricsLogger
-
-    class _Null(MetricsLogger):
-        def __init__(self):
-            pass
-
-        def log(self, r):
-            pass
-
-        def close(self):
-            pass
+    from gppvae_tpu.utils.metrics import NullLogger
 
     ds = build_rotated_digits(
         "sklearn", num_objects=args.num_objects, num_views=16, seed=0
@@ -62,7 +52,7 @@ def main():
 
     vae = train_vae(ds, VAETrainConfig(
         zdim=16, epochs=args.pretrain, batch_size=128, lr=1e-3, seed=0,
-    ), log=_Null())
+    ), log=NullLogger())
     print(json.dumps({
         "model": "vae_pretrain",
         "recon_mse": vae.history[-1]["mse"],
@@ -78,7 +68,7 @@ def main():
             outdir=args.outdir and f"{args.outdir}/{mode}",
             panel_every=args.epochs - 1 if args.outdir else 0,
         )
-        r = train_gppvae(ds, cfg, vae_params=vae.vae_params, log=_Null())
+        r = train_gppvae(ds, cfg, vae_params=vae.vae_params, log=NullLogger())
         first, last = r.history[0], r.history[-1]
         results[mode] = last["oos_mse"]
         print(json.dumps({
