@@ -17,6 +17,8 @@ _COMMANDS = {
     "generate": ("gppvae_tpu.eval.generate", "main"),
     "plot": ("gppvae_tpu.eval.plots", "main"),
 }
+# full-pipeline scripts living at the repo root (available when run from a
+# checkout): validate = pretrain→dis→joint accuracy ordering, bench = perf
 
 
 def main():
