@@ -59,8 +59,9 @@ def predict_heldout(
                       x_map=x_map)
     V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True,
                       x_map=x_map)
-    v_sig = jnp.exp(params["gp"]["log_vs"])
-    v_noise = jnp.exp(params["gp"]["log_vn"])
+    v_sig, v_noise = gp.variances_from_log(
+        params["gp"]["log_vs"], params["gp"]["log_vn"]
+    )
     factors = gp.factorize(V_tr, v_sig, v_noise)
     decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
     y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)

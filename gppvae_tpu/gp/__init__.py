@@ -19,11 +19,13 @@ U = [√v_1·V_1 | … | √v_k·V_k].
 
 from gppvae_tpu.gp.woodbury import (
     GPFactors,
+    MIN_V_NOISE,
     factorize,
     gp_nll,
     gp_nll_from_features,
     kinv_z_core,
     predict_latents,
+    variances_from_log,
 )
 from gppvae_tpu.gp.features import (
     build_V,
@@ -38,6 +40,8 @@ from gppvae_tpu.gp import dense
 
 __all__ = [
     "GPFactors",
+    "MIN_V_NOISE",
+    "variances_from_log",
     "factorize",
     "gp_nll",
     "gp_nll_from_features",

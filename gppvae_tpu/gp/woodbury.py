@@ -36,6 +36,15 @@ from gppvae_tpu import ops
 
 _LOG2PI = math.log(2.0 * math.pi)
 
+# floor added to exp(log_vn) by variances_from_log: keeps B = I + G/v_n
+# factorizable even if the noise variance collapses during joint training
+MIN_V_NOISE = 1e-6
+
+
+def variances_from_log(log_vs, log_vn, min_v_noise: float = MIN_V_NOISE):
+    """(v_sig, v_noise) from the trainers' log-parametrization, floored."""
+    return jnp.exp(log_vs), jnp.exp(log_vn) + min_v_noise
+
 
 class GPFactors(NamedTuple):
     """Woodbury factors of K = U Uᵀ + v_n I.

@@ -140,9 +140,8 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
 
 def _gp_nll_fn(Z, V, aux):
     """Exact full-data GP NLL as a function of the Taylor variables."""
-    return gp.gp_nll_from_features(
-        Z, V, jnp.exp(aux["log_vs"]), jnp.exp(aux["log_vn"])
-    )
+    v_sig, v_noise = gp.variances_from_log(aux["log_vs"], aux["log_vn"])
+    return gp.gp_nll_from_features(Z, V, v_sig, v_noise)
 
 
 def _split_gp_aux(gp_params):

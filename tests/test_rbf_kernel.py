@@ -21,7 +21,6 @@ def test_gppvae_rbf_object_kernel_trains(tmp_path):
     assert losses[-1] < losses[0]
     assert np.isfinite(result.history[-1]["oos_mse"])
     # generate CLI round-trips the rbf config from config.json
-    import json
 
     from gppvae_tpu.eval.generate import main
 

@@ -84,3 +84,16 @@ def test_joint_mode_learns_view_features(small_ds, pretrained_vae):
         gp.fourier_view_features(jnp.asarray(small_ds.view_aux[:, 0]), num_freqs=2)
     )
     assert not np.allclose(W, W0), "joint mode must update view features"
+
+
+def test_noise_floor_survives_collapsed_variance(small_ds, pretrained_vae):
+    """log_vn initialized pathologically low must not NaN the Cholesky
+    (gp.variances_from_log floors the noise)."""
+    config = GPPVAETrainConfig(
+        mode="dis", zdim=8, epochs=1, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=2, init_v_noise=1e-12,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    result = train_gppvae(small_ds, config, vae_params=pretrained_vae.vae_params)
+    assert np.isfinite(result.history[0]["loss"])
+    assert np.isfinite(result.history[0]["oos_mse"])
