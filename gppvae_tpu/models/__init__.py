@@ -5,6 +5,7 @@ flax.linen modules; compute dtype is configurable (bfloat16 on TPU for the
 MXU, float32 params; the GP layer always consumes float32 latents).
 """
 
+from gppvae_tpu.models.cvae import CVAE
 from gppvae_tpu.models.vae import (
     ConvDecoder,
     ConvEncoder,
@@ -13,4 +14,11 @@ from gppvae_tpu.models.vae import (
     reparameterize,
 )
 
-__all__ = ["ConvEncoder", "ConvDecoder", "VAE", "encode_all", "reparameterize"]
+__all__ = [
+    "ConvEncoder",
+    "ConvDecoder",
+    "CVAE",
+    "VAE",
+    "encode_all",
+    "reparameterize",
+]

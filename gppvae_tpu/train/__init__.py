@@ -8,6 +8,7 @@ per minibatch.
 """
 
 from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal, neg_entropy
+from gppvae_tpu.train.train_cvae import CVAETrainConfig, train_cvae
 from gppvae_tpu.train.train_vae import VAETrainConfig, train_vae
 from gppvae_tpu.train.train_gppvae import GPPVAETrainConfig, train_gppvae
 
@@ -15,6 +16,8 @@ __all__ = [
     "gaussian_recon_nll",
     "kl_standard_normal",
     "neg_entropy",
+    "CVAETrainConfig",
+    "train_cvae",
     "VAETrainConfig",
     "train_vae",
     "GPPVAETrainConfig",

@@ -1,0 +1,169 @@
+"""CVAE baseline driver (the paper's comparison model; no GP).
+
+Same fused scan-per-dispatch loop as train_vae, plus per-epoch out-of-sample
+conditional generation: for a held-out (object, view*) cell, average the
+object's encoded latent means over its TRAINING views and decode with the
+target view conditioning. Exists so validate.py can reproduce the paper's
+GPPVAE-vs-CVAE comparison inside this framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gppvae_tpu.data.dataset import GridDataset
+from gppvae_tpu.models.cvae import CVAE
+from gppvae_tpu.models.vae import reparameterize
+from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
+from gppvae_tpu.utils import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class CVAETrainConfig:
+    zdim: int = 16
+    epochs: int = 50
+    batch_size: int = 128
+    lr: float = 2e-4
+    seed: int = 0
+    sigma_y: float = 0.1
+    beta_kl: float = 1.0
+    enc_features: Sequence[int] = (32, 64, 128)
+    dec_features: Sequence[int] = (128, 64, 32)
+    compute_dtype: str = "float32"
+    epochs_per_dispatch: int = 1
+    outdir: str | None = None
+
+
+@dataclasses.dataclass
+class CVAETrainResult:
+    params: Any
+    config: CVAETrainConfig
+    history: list[dict]
+    model: CVAE
+
+
+def train_cvae(
+    dataset: GridDataset,
+    config: CVAETrainConfig,
+    *,
+    log: MetricsLogger | None = None,
+) -> CVAETrainResult:
+    own_log = log is None
+    log = log or MetricsLogger(config.outdir)
+    model = CVAE(
+        zdim=config.zdim,
+        image_shape=tuple(dataset.image_shape),
+        num_views=dataset.num_views,
+        enc_features=tuple(config.enc_features),
+        dec_features=tuple(config.dec_features),
+        dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+    )
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_key, sample_key = jax.random.split(rng, 3)
+
+    tr, ho = dataset.train_idx, dataset.heldout_idx
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+    y_ho = jnp.asarray(dataset.images[ho])
+    d_ho = jnp.asarray(dataset.object_ids[ho])
+    q_ho = jnp.asarray(dataset.view_ids[ho])
+    num_train = len(tr)
+    P = dataset.num_objects
+
+    params = model.init(init_key, images_tr[:1], q_tr[:1], sample_key)
+    optimizer = optax.adam(config.lr)
+    opt_state = optimizer.init(params)
+
+    bs = config.batch_size
+    nb = num_train // bs
+    if nb == 0:
+        raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+
+    def oos_eval(params):
+        mu, _ = model.apply(params, images_tr, q_tr, method=CVAE.encode)
+        zsum = jax.ops.segment_sum(mu, d_tr, num_segments=P)
+        counts = jax.ops.segment_sum(jnp.ones(num_train), d_tr, num_segments=P)
+        zbar = zsum / jnp.maximum(counts, 1.0)[:, None]
+        logits = model.apply(params, zbar[d_ho], q_ho, method=CVAE.decode)
+        y_pred = jax.nn.sigmoid(logits)
+        return y_pred, jnp.mean(jnp.square(y_ho - y_pred))
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
+    def run_epochs(params, opt_state, n_epochs, base_key):
+        def minibatch_step(carry, xs):
+            params, opt_state = carry
+            pos, step_key = xs
+
+            def loss_fn(p):
+                y = images_tr[pos]
+                q = q_tr[pos]
+                mu, logvar = model.apply(p, y, q, method=CVAE.encode)
+                z = reparameterize(step_key, mu, logvar)
+                logits = model.apply(p, z, q, method=CVAE.decode)
+                recon, mse = gaussian_recon_nll(
+                    y, jax.nn.sigmoid(logits), config.sigma_y
+                )
+                kl = kl_standard_normal(mu, logvar)
+                loss = jnp.mean(recon + config.beta_kl * kl)
+                return loss, (jnp.mean(recon), jnp.mean(kl), jnp.mean(mse))
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([loss, *aux])
+
+        def epoch_body(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, num_train)[: nb * bs]
+            step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state),
+                (perm.reshape(nb, bs), step_keys),
+            )
+            _, oos = oos_eval(params)
+            return (params, opt_state), jnp.concatenate(
+                [jnp.mean(metrics, axis=0), jnp.stack([oos])]
+            )
+
+        keys = jax.random.split(base_key, n_epochs)
+        (params, opt_state), rows = jax.lax.scan(
+            epoch_body, (params, opt_state), keys
+        )
+        return params, opt_state, rows
+
+    history: list[dict] = []
+    done = 0
+    while done < config.epochs:
+        e = min(config.epochs_per_dispatch, config.epochs - done)
+        rng, step_key = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, opt_state, rows = run_epochs(params, opt_state, e, step_key)
+        rows = np.asarray(jax.device_get(rows))
+        sec = (time.perf_counter() - t0) / e
+        for i in range(e):
+            rec = {
+                "driver": "train_cvae",
+                "epoch": done + i,
+                "loss": float(rows[i, 0]),
+                "recon_term": float(rows[i, 1]),
+                "kl_term": float(rows[i, 2]),
+                "mse": float(rows[i, 3]),
+                "oos_mse": float(rows[i, 4]),
+                "sec_epoch": sec,
+            }
+            log.log(rec)
+            history.append(rec)
+        done += e
+
+    if own_log:
+        log.close()
+    return CVAETrainResult(params=params, config=config, history=history, model=model)

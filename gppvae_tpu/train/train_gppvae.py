@@ -77,6 +77,9 @@ class GPPVAETrainConfig:
     lr_gp: float = 1e-3
     seed: int = 0
     sigma_y: float = 0.1
+    learn_sigma_y: bool = False  # learn the decoder noise std (log-param,
+    # lives in the GP/likelihood optimizer group; recon's D/2·log(2πσ²)
+    # term makes the MLE well-defined)
     # GP feature dims: object rank M, view rank M_w (R = M·M_w)
     obj_feature_dim: int = 8
     view_num_freqs: int = 3  # fixed Fourier view features → M_w = 2f+1
@@ -203,6 +206,11 @@ class _Loop:
             pos, step_key = xs  # positions into the train arrays
 
             def loss_fn(p):
+                sy = (
+                    jnp.exp(p["gp"]["log_sy"])
+                    if config.learn_sigma_y
+                    else config.sigma_y
+                )
                 y = images_tr[pos]
                 if batch_sharding is not None:
                     # DP: split the gathered batch rows across the mesh
@@ -210,9 +218,7 @@ class _Loop:
                 mu, logvar = model.apply(p["vae"], y, method=VAE.encode)
                 z = reparameterize(step_key, mu, logvar)
                 logits = model.apply(p["vae"], z, method=VAE.decode)
-                recon, mse = gaussian_recon_nll(
-                    y, jax.nn.sigmoid(logits), config.sigma_y
-                )
+                recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), sy)
                 W = p["gp"]["W"] if learn_W else fixed_W
                 v = gp.build_V(p["gp"]["X"], W, d_tr[pos], q_tr[pos],
                                normalize_X=True, normalize_W=True,
@@ -378,6 +384,8 @@ def _setup(dataset, config, vae_params, mesh):
         "log_vs": jnp.log(jnp.asarray(config.init_v_sig, jnp.float32)),
         "log_vn": jnp.log(jnp.asarray(config.init_v_noise, jnp.float32)),
     }
+    if config.learn_sigma_y:
+        gp_params["log_sy"] = jnp.log(jnp.asarray(config.sigma_y, jnp.float32))
     fixed_W = None
     if config.mode == "joint":
         gp_params["W"] = W0

@@ -97,3 +97,17 @@ def test_noise_floor_survives_collapsed_variance(small_ds, pretrained_vae):
     result = train_gppvae(small_ds, config, vae_params=pretrained_vae.vae_params)
     assert np.isfinite(result.history[0]["loss"])
     assert np.isfinite(result.history[0]["oos_mse"])
+
+
+def test_learnable_sigma_y(small_ds, pretrained_vae):
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=16, lr_gp=1e-2,
+        obj_feature_dim=4, view_num_freqs=2, learn_sigma_y=True, sigma_y=0.3,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    result = train_gppvae(small_ds, config, vae_params=pretrained_vae.vae_params)
+    assert np.isfinite([h["loss"] for h in result.history]).all()
+    log_sy = float(result.params["gp"]["log_sy"])
+    assert log_sy != np.log(0.3), "sigma_y must receive gradient updates"
+    # MLE pulls sigma_y toward the actual residual scale (well below 0.3)
+    assert log_sy < np.log(0.3)

@@ -29,7 +29,8 @@ def main():
 
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import (
-        GPPVAETrainConfig, VAETrainConfig, train_gppvae, train_vae,
+        CVAETrainConfig, GPPVAETrainConfig, VAETrainConfig,
+        train_cvae, train_gppvae, train_vae,
     )
     from gppvae_tpu.utils.metrics import NullLogger
 
@@ -56,6 +57,17 @@ def main():
     print(json.dumps({
         "model": "vae_pretrain",
         "recon_mse": vae.history[-1]["mse"],
+    }), flush=True)
+
+    # CVAE baseline (the paper's non-GP comparison model)
+    cvae = train_cvae(ds, CVAETrainConfig(
+        zdim=16, epochs=args.pretrain + args.epochs, batch_size=128, lr=1e-3,
+        seed=0, epochs_per_dispatch=10,
+    ), log=NullLogger())
+    print(json.dumps({
+        "model": "cvae",
+        "oos_mse": cvae.history[-1]["oos_mse"],
+        "recon_mse": cvae.history[-1]["mse"],
     }), flush=True)
 
     results = {}
@@ -85,6 +97,7 @@ def main():
         "verdict": "PASS" if ok else "FAIL",
         "joint_vs_best_baseline": results["joint"] / min(base_mean, base_view),
         "joint_vs_dis": results["joint"] / results["dis"],
+        "joint_vs_cvae": results["joint"] / cvae.history[-1]["oos_mse"],
     }), flush=True)
     if not ok:
         raise SystemExit(1)
