@@ -59,6 +59,30 @@ def main():
         "recon_mse": vae.history[-1]["mse"],
     }), flush=True)
 
+    # LIVAE baseline (paper comparison): decode the linear interpolation of
+    # the SAME object's encoded latents at the two views adjacent to the
+    # held-out angle — a VAE with hand-made latent geometry, no GP
+    import jax
+    import jax.numpy as jnp
+
+    from gppvae_tpu.models import VAE
+
+    model = vae.model
+    mu_all, _ = model.apply(
+        vae.vae_params, jnp.asarray(ds.images), method=VAE.encode
+    )
+    mu_all = np.asarray(mu_all)  # grid rows n = d*Q + q (heldout rows unused)
+    Q = ds.num_views
+    d_ho, q_ho = ds.object_ids[ho], ds.view_ids[ho]
+    z_lo = mu_all[d_ho * Q + (q_ho - 1) % Q]
+    z_hi = mu_all[d_ho * Q + (q_ho + 1) % Q]
+    z_interp = jnp.asarray(0.5 * (z_lo + z_hi))
+    y_livae = np.asarray(
+        jax.nn.sigmoid(model.apply(vae.vae_params, z_interp, method=VAE.decode))
+    )
+    livae_mse = float(np.mean((y_ho - y_livae) ** 2))
+    print(json.dumps({"model": "livae", "oos_mse": livae_mse}), flush=True)
+
     # CVAE baseline (the paper's non-GP comparison model)
     cvae = train_cvae(ds, CVAETrainConfig(
         zdim=16, epochs=args.pretrain + args.epochs, batch_size=128, lr=1e-3,
