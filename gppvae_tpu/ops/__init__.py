@@ -23,7 +23,6 @@ from gppvae_tpu.ops.dispatch import (
     use_backend,
     gram,
     matmul_tn,
-    matmul_nn,
     sqnorm,
     woodbury_nll_core,
 )
@@ -35,7 +34,6 @@ __all__ = [
     "use_backend",
     "gram",
     "matmul_tn",
-    "matmul_nn",
     "sqnorm",
     "woodbury_nll_core",
 ]

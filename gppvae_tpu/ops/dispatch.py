@@ -81,10 +81,6 @@ def _xla_matmul_tn(A: jax.Array, B: jax.Array) -> jax.Array:
     return jnp.dot(A.T, B, preferred_element_type=A.dtype)
 
 
-def _xla_matmul_nn(A: jax.Array, B: jax.Array) -> jax.Array:
-    return jnp.dot(A, B, preferred_element_type=A.dtype)
-
-
 def _xla_sqnorm(X: jax.Array) -> jax.Array:
     return jnp.sum(jnp.square(X))
 
@@ -122,11 +118,6 @@ def gram(U: jax.Array, *, impl: str | None = None) -> jax.Array:
 def matmul_tn(A: jax.Array, B: jax.Array, *, impl: str | None = None) -> jax.Array:
     """Aᵀ B with A: (N, R), B: (N, L) — the Uᵀ Z projection."""
     return _dispatch("matmul_tn", _xla_matmul_tn, impl, A, B)
-
-
-def matmul_nn(A: jax.Array, B: jax.Array, *, impl: str | None = None) -> jax.Array:
-    """A B — predictive U*·M and K⁻¹-apply recombination."""
-    return _dispatch("matmul_nn", _xla_matmul_nn, impl, A, B)
 
 
 def sqnorm(X: jax.Array, *, impl: str | None = None) -> jax.Array:

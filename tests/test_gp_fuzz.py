@@ -1,0 +1,57 @@
+"""Hypothesis fuzzing of the Woodbury path vs the dense oracle.
+
+Randomized shapes/seeds/variances beyond the fixed cases in test_gp_math —
+the padding and conditioning corners a hand-picked grid misses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from gppvae_tpu import gp
+from gppvae_tpu.gp import dense
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(4, 180),
+    r=st.integers(1, 24),
+    l=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    log_vs=st.floats(-3.0, 3.0),
+    log_vn=st.floats(-4.0, 2.0),
+)
+def test_nll_matches_dense_fuzz(n, r, l, seed, log_vs, log_vn):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    V = jax.random.normal(k1, (n, r), jnp.float64)
+    Z = jax.random.normal(k2, (n, l), jnp.float64)
+    vs = jnp.float64(np.exp(log_vs))
+    vn = jnp.float64(np.exp(log_vn))
+    wood = gp.gp_nll_from_features(Z, V, vs, vn)
+    ref = dense.dense_nll(Z, dense.materialize_K(V, vs, vn))
+    np.testing.assert_allclose(wood, ref, rtol=1e-8)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    n=st.integers(8, 120),
+    n_star=st.integers(1, 10),
+    r=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_predictive_matches_dense_fuzz(n, n_star, r, seed):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    V = jax.random.normal(ks[0], (n, r), jnp.float64)
+    V_star = jax.random.normal(ks[1], (n_star, r), jnp.float64)
+    Z = jax.random.normal(ks[2], (n, 4), jnp.float64)
+    vs, vn = jnp.float64(0.9), jnp.float64(0.2)
+    factors = gp.factorize(V, vs, vn)
+    mean, var = gp.predict_latents(V_star, factors, Z, vs, return_var=True)
+    K = dense.materialize_K(V, vs, vn)
+    Ks = vs * (V_star @ V.T)
+    np.testing.assert_allclose(mean, dense.dense_predict(Ks, K, Z), rtol=1e-7)
+    kss = vs * jnp.sum(V_star**2, axis=1) + vn
+    var_ref = kss - jnp.sum(Ks * jnp.linalg.solve(K, Ks.T).T, axis=1)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-7)
+    assert (np.asarray(var) > 0).all()
