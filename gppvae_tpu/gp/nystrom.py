@@ -53,7 +53,7 @@ def pivoted_cholesky_landmarks(
 
 
 def nystrom_features(
-    V: jax.Array, landmark_idx: jax.Array | np.ndarray, jitter: float = 1e-8
+    V: jax.Array, landmark_idx: jax.Array | np.ndarray, jitter: float = 1e-10
 ) -> jax.Array:
     """Φ = V V_Sᵀ L_SS⁻ᵀ so that Φ Φᵀ is the Nyström approximation of V Vᵀ.
 
@@ -65,7 +65,9 @@ def nystrom_features(
     C = V @ V_S.T  # (N, m) cross-covariance K(·, S)
     K_SS = V_S @ V_S.T
     m = K_SS.shape[0]
-    L_SS = jax.lax.linalg.cholesky(K_SS + jitter * jnp.eye(m, dtype=V.dtype))
+    # jitter scaled to the landmark kernel's own magnitude
+    eps = jitter * (jnp.trace(K_SS) / m + 1.0)
+    L_SS = jax.lax.linalg.cholesky(K_SS + eps * jnp.eye(m, dtype=V.dtype))
     return jax.scipy.linalg.solve_triangular(L_SS, C.T, lower=True).T
 
 

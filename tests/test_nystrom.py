@@ -24,7 +24,7 @@ def test_exact_when_landmarks_cover_rank():
     V = _lowrank_V(jax.random.PRNGKey(0))
     Phi = compress_rank(V, m=10)  # > true rank 6
     assert Phi.shape[1] <= 10
-    np.testing.assert_allclose(Phi @ Phi.T, V @ V.T, atol=1e-8)
+    np.testing.assert_allclose(Phi @ Phi.T, V @ V.T, atol=1e-5)
 
 
 def test_rank_detection_stops_early():
