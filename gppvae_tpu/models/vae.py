@@ -30,25 +30,39 @@ def reparameterize(rng: jax.Array, mu: jax.Array, logvar: jax.Array) -> jax.Arra
     return mu + jnp.exp(0.5 * logvar) * eps
 
 
-def encode_all(model: "VAE", vae_params, images: jax.Array, chunk: int) -> jax.Array:
+def encode_all(
+    model,
+    params,
+    images: jax.Array,
+    chunk: int,
+    *,
+    method=None,
+    extra: tuple = (),
+) -> jax.Array:
     """Grad-free full-dataset encode (latent means) — GPPVAE Phase A.
 
     Chunked lax.scan caps the conv activation footprint at `chunk` rows
     regardless of N; used by the trainers and the eval CLI alike.
+
+    method: encoder method (defaults to VAE.encode); extra: additional
+    per-row arrays passed alongside the images (e.g. the CVAE's view ids).
     """
+    method = method or VAE.encode
     n = images.shape[0]
     if chunk >= n:
-        mu, _ = model.apply(vae_params, images, method=VAE.encode)
+        mu, _ = model.apply(params, images, *extra, method=method)
         return mu
-    pad = (-n) % chunk
-    padded = jnp.pad(images, ((0, pad),) + ((0, 0),) * (images.ndim - 1))
-    chunks = padded.reshape(-1, chunk, *images.shape[1:])
 
-    def enc(_, y):
-        mu, _lv = model.apply(vae_params, y, method=VAE.encode)
+    def padchunk(a):
+        pad = (-n) % chunk
+        padded = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        return padded.reshape(-1, chunk, *a.shape[1:])
+
+    def enc(_, rows):
+        mu, _lv = model.apply(params, rows[0], *rows[1:], method=method)
         return None, mu
 
-    _, Z = jax.lax.scan(enc, None, chunks)
+    _, Z = jax.lax.scan(enc, None, tuple(padchunk(a) for a in (images, *extra)))
     return Z.reshape(-1, Z.shape[-1])[:n]
 
 

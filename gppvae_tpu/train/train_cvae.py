@@ -21,7 +21,7 @@ import optax
 
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.models.cvae import CVAE
-from gppvae_tpu.models.vae import reparameterize
+from gppvae_tpu.models.vae import encode_all, reparameterize
 from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
 from gppvae_tpu.utils import MetricsLogger
 
@@ -88,28 +88,11 @@ def train_cvae(
     if nb == 0:
         raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
 
-    def _encode_all_cond(params, chunk=1024):
-        """Chunked full-train-set conditional encode (activation cap, same
-        rationale as models.encode_all — CVAE's encoder takes (y, q))."""
-        n = images_tr.shape[0]
-        if chunk >= n:
-            mu, _ = model.apply(params, images_tr, q_tr, method=CVAE.encode)
-            return mu
-        pad = (-n) % chunk
-        y_p = jnp.pad(images_tr, ((0, pad),) + ((0, 0),) * 3)
-        q_p = jnp.pad(q_tr, (0, pad))
-        y_c = y_p.reshape(-1, chunk, *images_tr.shape[1:])
-        q_c = q_p.reshape(-1, chunk)
-
-        def enc(_, yq):
-            mu, _lv = model.apply(params, yq[0], yq[1], method=CVAE.encode)
-            return None, mu
-
-        _, Z = jax.lax.scan(enc, None, (y_c, q_c))
-        return Z.reshape(-1, Z.shape[-1])[:n]
-
     def oos_eval(params):
-        mu = _encode_all_cond(params)
+        mu = encode_all(
+            model, params, images_tr, min(1024, num_train),
+            method=CVAE.encode, extra=(q_tr,),
+        )
         zsum = jax.ops.segment_sum(mu, d_tr, num_segments=P)
         counts = jax.ops.segment_sum(jnp.ones(num_train), d_tr, num_segments=P)
         zbar = zsum / jnp.maximum(counts, 1.0)[:, None]

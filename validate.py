@@ -71,12 +71,23 @@ def main():
     mu_all, _ = model.apply(
         vae.vae_params, jnp.asarray(ds.images), method=VAE.encode
     )
-    mu_all = np.asarray(mu_all)  # grid rows n = d*Q + q (heldout rows unused)
+    mu_all = np.asarray(mu_all)  # grid rows n = d*Q + q
     Q = ds.num_views
     d_ho, q_ho = ds.object_ids[ho], ds.view_ids[ho]
-    z_lo = mu_all[d_ho * Q + (q_ho - 1) % Q]
-    z_hi = mu_all[d_ho * Q + (q_ho + 1) % Q]
-    z_interp = jnp.asarray(0.5 * (z_lo + z_hi))
+    # interpolate strictly from TRAINING rows: walk outward (mod Q) to the
+    # nearest train view on each side — no val/heldout leakage
+    train_mask = np.zeros(len(ds.images), dtype=bool)
+    train_mask[ds.train_idx] = True
+
+    def nearest_train(d, q, step):
+        qq = (q + step) % Q
+        while not train_mask[d * Q + qq]:
+            qq = (qq + step) % Q
+        return d * Q + qq
+
+    lo = np.array([nearest_train(d, q, -1) for d, q in zip(d_ho, q_ho)])
+    hi = np.array([nearest_train(d, q, +1) for d, q in zip(d_ho, q_ho)])
+    z_interp = jnp.asarray(0.5 * (mu_all[lo] + mu_all[hi]))
     y_livae = np.asarray(
         jax.nn.sigmoid(model.apply(vae.vae_params, z_interp, method=VAE.decode))
     )
