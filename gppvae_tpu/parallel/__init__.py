@@ -12,16 +12,20 @@ XLA do the rest). Validated without hardware on a virtual CPU mesh
 
 from gppvae_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
     replicated,
     row_sharding,
+    shard_params_model_axis,
     shard_rows,
     trim_to_multiple,
 )
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "replicated",
     "row_sharding",
+    "shard_params_model_axis",
     "shard_rows",
     "trim_to_multiple",
 ]

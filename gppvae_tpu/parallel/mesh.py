@@ -26,6 +26,46 @@ def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    data: int, model: int, axis_names: tuple[str, str] = ("data", "model")
+) -> Mesh:
+    """2-D mesh: batch/N rows shard over `data`, large parameter matrices
+    over `model` (tensor parallelism — see shard_params_model_axis). For
+    this workload TP only pays once the dense latent heads grow large; the
+    axis exists so the scale-out story covers it (validated in
+    __graft_entry__.dryrun_multichip on the virtual mesh)."""
+    devices = jax.devices()
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, model), axis_names)
+
+
+def shard_params_model_axis(
+    mesh: Mesh, params, *, min_size: int = 1 << 14
+) -> "jax.Array":
+    """Tensor-parallel parameter placement: matrices with ≥ min_size
+    elements shard their LAST axis over the mesh's `model` axis (Dense
+    kernels: output features; conv kernels: output channels — the standard
+    Megatron-style column split, XLA SPMD inserts the matching collectives);
+    everything else replicates. No-op for meshes without a `model` axis.
+    """
+    if "model" not in mesh.axis_names:
+        return jax.device_put(params, replicated(mesh))
+    msize = mesh.shape["model"]
+
+    def place(x):
+        if (
+            hasattr(x, "ndim") and x.ndim >= 2 and x.size >= min_size
+            and x.shape[-1] % msize == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1)), "model")
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(place, params)
+
+
 def row_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 over the data axis (Z, V, images, ids)."""
     return NamedSharding(mesh, P(mesh.axis_names[0]))

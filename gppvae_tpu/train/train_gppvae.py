@@ -57,7 +57,13 @@ from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE, encode_all, reparameterize
-from gppvae_tpu.parallel import replicated, row_sharding, shard_rows, trim_to_multiple
+from gppvae_tpu.parallel import (
+    replicated,
+    row_sharding,
+    shard_params_model_axis,
+    shard_rows,
+    trim_to_multiple,
+)
 from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
 from gppvae_tpu.utils import MetricsLogger, PhaseTimer, maybe_trace
 
@@ -349,8 +355,8 @@ def _setup(dataset, config, vae_params, mesh):
 
     tr = dataset.train_idx
     if mesh is not None:
-        # row-sharded arrays need equal shards; drop <mesh-size trailing rows
-        tr = tr[: trim_to_multiple(len(tr), mesh.devices.size)]
+        # row-sharded arrays need equal data-axis shards; drop trailing rows
+        tr = tr[: trim_to_multiple(len(tr), mesh.shape[mesh.axis_names[0]])]
     arrays = dict(
         images_tr=jnp.asarray(dataset.images[tr]),
         d_tr=jnp.asarray(dataset.object_ids[tr]),
@@ -393,7 +399,9 @@ def _setup(dataset, config, vae_params, mesh):
         fixed_W = W0
     params = {"vae": vae_params, "gp": gp_params}
     if mesh is not None:
-        params = jax.device_put(params, replicated(mesh))
+        # 1-D mesh → replicate params (DP); 2-D mesh with a 'model' axis →
+        # large kernels shard their output features (TP), rest replicates
+        params = shard_params_model_axis(mesh, params)
         if fixed_W is not None:
             fixed_W = jax.device_put(fixed_W, replicated(mesh))
     return model, params, fixed_W, arrays, rng, len(tr)
