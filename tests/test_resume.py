@@ -58,3 +58,21 @@ def test_generate_cli_from_final_state(tmp_path, capsys):
     assert np.isfinite(rec["heldout_mse"])
     assert rec["n_heldout"] == 12
     assert (tmp_path / "run" / "oos_panel.png").exists()
+
+
+def test_generate_cli_dis_mode_fixed_W_roundtrip(tmp_path, capsys):
+    """dis-mode checkpoints carry fixed_W; generate must rebuild the same
+    view kernel from the saved state."""
+    ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
+    out = str(tmp_path / "dis")
+    train_gppvae(ds, _cfg(mode="dis", outdir=out))
+
+    from gppvae_tpu.eval.generate import main
+
+    main([
+        "--state", out + "/final_state",
+        "--data", "synthetic", "--num_objects", "12", "--num_views", "8",
+        "--outdir", out,
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(rec["heldout_mse"])

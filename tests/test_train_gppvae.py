@@ -111,3 +111,33 @@ def test_learnable_sigma_y(small_ds, pretrained_vae):
     assert log_sy != np.log(0.3), "sigma_y must receive gradient updates"
     # MLE pulls sigma_y toward the actual residual scale (well below 0.3)
     assert log_sy < np.log(0.3)
+
+
+def test_profile_phases_path(small_ds, pretrained_vae):
+    """The phase-per-dispatch profiling path trains and reports timings."""
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=2, profile_phases=True,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    result = train_gppvae(small_ds, config, vae_params=pretrained_vae.vae_params)
+    h = result.history
+    assert len(h) == 2
+    assert "sec_A_refresh_B_solve" in h[0]
+    assert "sec_C_minibatch" in h[0]
+    assert h[-1]["loss"] < h[0]["loss"] * 5  # sane magnitude, trains
+
+
+def test_bad_mode_and_batch_size_raise(small_ds):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown mode"):
+        train_gppvae(small_ds, GPPVAETrainConfig(mode="frankenstein"))
+    with _pytest.raises(ValueError, match="batch_size"):
+        train_gppvae(
+            small_ds,
+            GPPVAETrainConfig(
+                mode="dis", zdim=8, epochs=1, batch_size=10_000,
+                enc_features=(8,), dec_features=(8,),
+            ),
+        )
