@@ -36,6 +36,7 @@ def generate_heldout(
     object_kernel: str = "linear",
     rff_features: int = 32,
     rff_lengthscale: float = 1.0,
+    extra_effects: tuple = (),
     seed: int = 0,
 ) -> tuple[np.ndarray, float]:
     """Returns (predicted heldout images, pixel MSE vs ground truth)."""
@@ -66,7 +67,7 @@ def generate_heldout(
             jnp.asarray(dataset.object_ids[ho]),
             jnp.asarray(dataset.view_ids[ho]),
             jnp.asarray(dataset.images[ho]),
-            x_map=x_map,
+            x_map=x_map, extra_effects=tuple(extra_effects),
         )
 
     y_pred, mse = run(params, fixed_W)
@@ -94,7 +95,8 @@ def main(argv=None):
     arch = {
         "zdim": 16, "enc_features": (32, 64, 128),
         "dec_features": (128, 64, 32), "object_kernel": "linear",
-        "rff_features": 32, "rff_lengthscale": 1.0, "seed": 0,
+        "rff_features": 32, "rff_lengthscale": 1.0, "extra_effects": (),
+        "seed": 0,
     }
     cfg_path = os.path.join(run_dir, "config.json")
     if os.path.exists(cfg_path):

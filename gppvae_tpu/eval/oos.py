@@ -43,6 +43,7 @@ def predict_heldout(
     y_ho: jax.Array,
     *,
     x_map=None,
+    extra_effects: tuple = (),
 ):
     """The full OOS pipeline shared by the trainers and the eval CLI:
     build train/held-out feature rows from the current GP params, factorize,
@@ -50,19 +51,28 @@ def predict_heldout(
 
     params: {'vae': …, 'gp': {'X', ['W'], 'log_vs', 'log_vn'}}; fixed_W is
     the dis-mode view feature matrix (ignored when params carry a learned W).
+    extra_effects: additional random effects beyond the object×view product
+    ('object' / 'view'), matching the trainer's config.
     """
     from gppvae_tpu.models import VAE
 
     W = params["gp"].get("W", fixed_W)
     X = params["gp"]["X"]
-    V_tr = gp.build_V(X, W, d_tr, q_tr, normalize_X=True, normalize_W=True,
-                      x_map=x_map)
-    V_ho = gp.build_V(X, W, d_ho, q_ho, normalize_X=True, normalize_W=True,
-                      x_map=x_map)
+
+    def effects(d, q):
+        out = [gp.build_V(X, W, d, q, normalize_X=True, normalize_W=True,
+                          x_map=x_map)]
+        for e in extra_effects:
+            out.append(gp.normalize_rows(X)[d] if e == "object"
+                       else gp.normalize_rows(W)[q])
+        return out
+
+    V_tr, V_ho = effects(d_tr, q_tr), effects(d_ho, q_ho)
     v_sig, v_noise = gp.variances_from_log(
         params["gp"]["log_vs"], params["gp"]["log_vn"]
     )
-    factors = gp.factorize(V_tr, v_sig, v_noise)
+    v_sigs = [jnp.reshape(v_sig, (-1,))[i] for i in range(len(V_tr))]
+    factors = gp.factorize(V_tr, v_sigs, v_noise)
     decode = lambda z: model.apply(params["vae"], z, method=VAE.decode)
-    y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sig)
+    y_pred = oos_predict_images(decode, V_ho, factors, Z0, v_sigs)
     return y_pred, pixel_mse(y_ho, y_pred)

@@ -33,7 +33,7 @@ class TaylorCoefficients(NamedTuple):
 
     value: jax.Array  # () nll at the expansion point
     dZ: jax.Array  # (N, L) ∂nll/∂Z
-    dV: jax.Array  # (N, R) ∂nll/∂V  (single random effect; lists upstream)
+    dV: Any  # (N, R) ∂nll/∂V — or a matching pytree for multiple effects
     daux: Any  # pytree: ∂nll/∂(variance raw params, …)
 
 
@@ -47,7 +47,8 @@ def taylor_expand(
 
     nll_fn(Z, V, aux) must be the *exact* full-dataset Woodbury NLL
     (gp.gp_nll_from_features composed with the variance transform). All
-    inputs are treated as free variables; jit this whole call.
+    inputs are treated as free variables; jit this whole call. V0 may be a
+    single (N, R) array or a pytree of them (multiple random effects).
     """
     value, (dZ, dV, daux) = jax.value_and_grad(nll_fn, argnums=(0, 1, 2))(Z0, V0, aux0)
     return TaylorCoefficients(value=value, dZ=dZ, dV=dV, daux=daux)
@@ -64,14 +65,18 @@ def surrogate_batch_term(
     """Per-minibatch GP loss term from the Taylor surrogate.
 
     idx: (b,) dataset indices of the batch; z_batch: (b, L) differentiable
-    latents; v_batch: (b, R) differentiable feature rows; aux: the live
+    latents; v_batch: (b, R) differentiable feature rows — or a pytree of
+    them matching coeffs.dV (multiple random effects); aux: the live
     (differentiable) variance raw params. The coefficients are constants
     (stop-gradient'd by construction — they were computed in a separate
     trace), so d(term)/d(z_batch) = dZ[idx] exactly, etc.
     """
     dZb = jax.lax.stop_gradient(coeffs.dZ[idx])
-    dVb = jax.lax.stop_gradient(coeffs.dV[idx])
-    term = jnp.sum(dZb * z_batch) + jnp.sum(dVb * v_batch)
+    dVb = jax.tree.map(lambda a: jax.lax.stop_gradient(a[idx]), coeffs.dV)
+    term = jnp.sum(dZb * z_batch) + sum(
+        jnp.sum(g * v)
+        for g, v in zip(jax.tree.leaves(dVb), jax.tree.leaves(v_batch), strict=True)
+    )
     frac = idx.shape[0] / num_total
     daux = jax.lax.stop_gradient(coeffs.daux)
     aux_dot = sum(

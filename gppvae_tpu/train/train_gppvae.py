@@ -96,6 +96,11 @@ class GPPVAETrainConfig:
     object_kernel: str = "linear"
     rff_features: int = 32
     rff_lengthscale: float = 1.0
+    # additional low-rank random effects beyond the object×view product
+    # (the reference GP's n_rand_effs; K = Σ_r v_r V_r V_rᵀ + v_n I):
+    # 'object' adds a per-object effect shared across views (rows x_d),
+    # 'view' a per-view effect shared across objects (rows w_q)
+    extra_effects: tuple = ()
     init_v_sig: float = 1.0
     init_v_noise: float = 0.5
     enc_features: Sequence[int] = (32, 64, 128)
@@ -147,10 +152,14 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
     return gp.normalize_rows(W)
 
 
-def _gp_nll_fn(Z, V, aux):
-    """Exact full-data GP NLL as a function of the Taylor variables."""
+def _gp_nll_fn(Z, Vs, aux):
+    """Exact full-data GP NLL as a function of the Taylor variables.
+
+    Vs: list of per-effect feature-row matrices; aux['log_vs']: (n_eff,).
+    """
     v_sig, v_noise = gp.variances_from_log(aux["log_vs"], aux["log_vn"])
-    return gp.gp_nll_from_features(Z, V, v_sig, v_noise)
+    v_sigs = [v_sig[i] for i in range(len(Vs))]
+    return gp.gp_nll_from_features(Z, Vs, v_sigs, v_noise)
 
 
 def _split_gp_aux(gp_params):
@@ -181,6 +190,9 @@ class _Loop:
             raise ValueError(
                 f"unknown object_kernel {config.object_kernel!r}"
             )
+        for e in config.extra_effects:
+            if e not in ("object", "view"):
+                raise ValueError(f"unknown extra effect {e!r}")
         self.batch_sharding = row_sharding(mesh) if mesh is not None else None
         self.chunk = num_train if mesh is not None else min(
             config.encode_chunk, num_train
@@ -190,12 +202,24 @@ class _Loop:
         if self.nb == 0:
             raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
 
+    def build_effects(self, X, W, d, q):
+        """Per-effect feature rows: [object⊗view product, *extra_effects]."""
+        effects = [
+            gp.build_V(X, W, d, q, normalize_X=True, normalize_W=True,
+                       x_map=self.x_map)
+        ]
+        for e in self.config.extra_effects:
+            if e == "object":
+                effects.append(gp.normalize_rows(X)[d])
+            else:  # 'view'
+                effects.append(gp.normalize_rows(W)[q])
+        return effects
+
     # -- phase A+B
     def refresh_and_solve(self, params, fixed_W, images_tr, d_tr, q_tr):
         Z0 = _encode_all(self.model, params["vae"], images_tr, self.chunk)
         W = params["gp"]["W"] if self.learn_W else fixed_W
-        V0 = gp.build_V(params["gp"]["X"], W, d_tr, q_tr,
-                        normalize_X=True, normalize_W=True, x_map=self.x_map)
+        V0 = self.build_effects(params["gp"]["X"], W, d_tr, q_tr)
         coeffs = gp.taylor_expand(_gp_nll_fn, Z0, V0, _split_gp_aux(params["gp"]))
         return Z0, coeffs
 
@@ -226,9 +250,7 @@ class _Loop:
                 logits = model.apply(p["vae"], z, method=VAE.decode)
                 recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), sy)
                 W = p["gp"]["W"] if learn_W else fixed_W
-                v = gp.build_V(p["gp"]["X"], W, d_tr[pos], q_tr[pos],
-                               normalize_X=True, normalize_W=True,
-                               x_map=self.x_map)
+                v = self.build_effects(p["gp"]["X"], W, d_tr[pos], q_tr[pos])
                 aux = _split_gp_aux(p["gp"])
                 gp_term = gp.surrogate_batch_term(
                     coeffs, pos, z, v, aux, num_train
@@ -261,7 +283,7 @@ class _Loop:
     def oos(self, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho):
         return predict_heldout(
             self.model, params, fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho,
-            x_map=self.x_map,
+            x_map=self.x_map, extra_effects=self.config.extra_effects,
         )
 
     # ---------------- fused multi-epoch pipeline (one dispatch) ----------
@@ -291,7 +313,7 @@ class _Loop:
                     cm,
                     jnp.stack([
                         coeffs.value / self.num_train,
-                        jnp.exp(params["gp"]["log_vs"]),
+                        jnp.exp(params["gp"]["log_vs"][0]),  # product effect
                         jnp.exp(params["gp"]["log_vn"]),
                         oos_in,
                     ]),
@@ -383,11 +405,13 @@ def _setup(dataset, config, vae_params, mesh):
         vae_params = jax.tree.map(lambda x: jnp.array(x, copy=True), vae_params)
 
     W0 = _init_view_features(config, dataset)
+    n_eff = 1 + len(config.extra_effects)
     gp_params = {
         "X": jax.random.normal(
             x_key, (dataset.num_objects, config.obj_feature_dim), jnp.float32
         ) / np.sqrt(config.obj_feature_dim),
-        "log_vs": jnp.log(jnp.asarray(config.init_v_sig, jnp.float32)),
+        # one signal variance per random effect (reference GP: n_rand_effs)
+        "log_vs": jnp.full((n_eff,), np.log(config.init_v_sig), jnp.float32),
         "log_vn": jnp.log(jnp.asarray(config.init_v_noise, jnp.float32)),
     }
     if config.learn_sigma_y:
@@ -546,7 +570,7 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
             "pen_term": float(cm[3]),
             "mse": float(cm[4]),
             "gp_nll_full": float(coeffs.value) / loop.num_train,
-            "v_sig": float(jnp.exp(params["gp"]["log_vs"])),
+            "v_sig": float(jnp.exp(params["gp"]["log_vs"][0])),
             "v_noise": float(jnp.exp(params["gp"]["log_vn"])),
             "oos_mse": oos_mse,
             "sec_epoch": sec,

@@ -141,3 +141,31 @@ def test_bad_mode_and_batch_size_raise(small_ds):
                 enc_features=(8,), dec_features=(8,),
             ),
         )
+
+
+def test_extra_random_effects_train(small_ds, pretrained_vae, tmp_path):
+    """K = v1·(product) + v2·(object) + v3·(view) + vn·I end-to-end (the
+    reference GP's n_rand_effs capability)."""
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=3, batch_size=16, lr_gp=5e-3,
+        obj_feature_dim=4, view_num_freqs=2,
+        extra_effects=("object", "view"),
+        enc_features=(8, 16), dec_features=(16, 8),
+        outdir=str(tmp_path),
+    )
+    result = train_gppvae(small_ds, config, vae_params=pretrained_vae.vae_params)
+    h = result.history
+    assert np.isfinite([r["loss"] for r in h]).all()
+    assert h[-1]["loss"] < h[0]["loss"]
+    assert h[-1]["oos_mse"] < h[0]["oos_mse"]
+    assert result.params["gp"]["log_vs"].shape == (3,)
+    # generate CLI round-trips extra_effects from config.json
+    import json as _json
+
+    from gppvae_tpu.eval.generate import main as gen_main
+
+    gen_main([
+        "--state", str(tmp_path / "final_state"),
+        "--data", "synthetic", "--num_objects", "16", "--num_views", "8",
+        "--outdir", str(tmp_path),
+    ])
