@@ -58,16 +58,10 @@ def predict_heldout(
 
     W = params["gp"].get("W", fixed_W)
     X = params["gp"]["X"]
-
-    def effects(d, q):
-        out = [gp.build_V(X, W, d, q, normalize_X=True, normalize_W=True,
-                          x_map=x_map)]
-        for e in extra_effects:
-            out.append(gp.normalize_rows(X)[d] if e == "object"
-                       else gp.normalize_rows(W)[q])
-        return out
-
-    V_tr, V_ho = effects(d_tr, q_tr), effects(d_ho, q_ho)
+    V_tr = gp.build_effect_rows(X, W, d_tr, q_tr,
+                                extra_effects=extra_effects, x_map=x_map)
+    V_ho = gp.build_effect_rows(X, W, d_ho, q_ho,
+                                extra_effects=extra_effects, x_map=x_map)
     v_sig, v_noise = gp.variances_from_log(
         params["gp"]["log_vs"], params["gp"]["log_vn"]
     )

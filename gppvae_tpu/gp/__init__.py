@@ -28,6 +28,7 @@ from gppvae_tpu.gp.woodbury import (
     variances_from_log,
 )
 from gppvae_tpu.gp.features import (
+    build_effect_rows,
     build_V,
     fourier_view_features,
     kron_rows,
@@ -47,6 +48,7 @@ __all__ = [
     "gp_nll_from_features",
     "kinv_z_core",
     "predict_latents",
+    "build_effect_rows",
     "build_V",
     "fourier_view_features",
     "kron_rows",

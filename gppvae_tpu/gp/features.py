@@ -130,6 +130,36 @@ def kron_rows(Xrows: jax.Array, Wrows: jax.Array) -> jax.Array:
     return (Xrows[:, :, None] * Wrows[:, None, :]).reshape(n, M * Mw)
 
 
+def build_effect_rows(
+    X: jax.Array,
+    W: jax.Array,
+    object_ids: jax.Array,
+    view_ids: jax.Array,
+    *,
+    extra_effects: tuple = (),
+    x_map=None,
+) -> list[jax.Array]:
+    """Per-sample feature rows for every random effect, in variance order:
+    [object⊗view product, *extra_effects]. The one shared builder used by
+    the trainer, the OOS pipeline and the eval CLI — validates effect names
+    so a corrupted config fails loudly instead of building a wrong kernel.
+    """
+    effects = [
+        build_V(X, W, object_ids, view_ids,
+                normalize_X=True, normalize_W=True, x_map=x_map)
+    ]
+    for e in extra_effects:
+        if e == "object":
+            effects.append(normalize_rows(X)[object_ids])
+        elif e == "view":
+            effects.append(normalize_rows(W)[view_ids])
+        else:
+            raise ValueError(
+                f"unknown extra effect {e!r}; want 'object' or 'view'"
+            )
+    return effects
+
+
 def build_V(
     X: jax.Array,
     W: jax.Array,

@@ -203,17 +203,10 @@ class _Loop:
             raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
 
     def build_effects(self, X, W, d, q):
-        """Per-effect feature rows: [object⊗view product, *extra_effects]."""
-        effects = [
-            gp.build_V(X, W, d, q, normalize_X=True, normalize_W=True,
-                       x_map=self.x_map)
-        ]
-        for e in self.config.extra_effects:
-            if e == "object":
-                effects.append(gp.normalize_rows(X)[d])
-            else:  # 'view'
-                effects.append(gp.normalize_rows(W)[q])
-        return effects
+        return gp.build_effect_rows(
+            X, W, d, q, extra_effects=self.config.extra_effects,
+            x_map=self.x_map,
+        )
 
     # -- phase A+B
     def refresh_and_solve(self, params, fixed_W, images_tr, d_tr, q_tr):
@@ -455,6 +448,9 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
             **({"fixed_W": fixed_W} if fixed_W is not None else {}),
             "epoch": 0,
         }
+        # note: checkpoints written before log_vs became a per-effect vector
+        # (round-1 interim format, never released) are not loadable; the
+        # state layout is otherwise stable
         state = load_pytree(config.resume, abstract)
         params, ov_state, og_state = (
             state["params"], state["ov_state"], state["og_state"]
