@@ -6,7 +6,13 @@ from GP-predictive latents alone (SURVEY.md §3.4) — reporting the pixel-MSE
 parity metric and writing a truth/prediction panel.
 
     python -m gppvae_tpu.eval.generate --state out/gppvae/final_state \
-        --data synthetic --mode joint [--num_objects 400 --num_views 16]
+        --data synthetic [--num_objects 400 --num_views 16]
+
+Extras beyond the reference:
+    --object D    novel-view synthesis: predict ALL views of object D from
+                  its training views (panel: truth row / prediction row)
+    --sample K    unconditional generation: decode K latent rows drawn from
+                  the learned GP prior z ~ N(0, K) (uses U·ε + √v_n·ε)
 """
 
 from __future__ import annotations
@@ -74,6 +80,98 @@ def generate_heldout(
     return np.asarray(y_pred), float(mse)
 
 
+def synthesize_views(
+    state: dict,
+    dataset: GridDataset,
+    object_id: int,
+    *,
+    zdim: int,
+    enc_features=(32, 64, 128),
+    dec_features=(128, 64, 32),
+    object_kernel: str = "linear",
+    rff_features: int = 32,
+    rff_lengthscale: float = 1.0,
+    extra_effects: tuple = (),
+    seed: int = 0,
+) -> np.ndarray:
+    """Novel-view synthesis: GP-predict every view of one object from the
+    TRAINING rows only (its held-out views are genuinely extrapolated)."""
+    params = state["params"]
+    fixed_W = state.get("fixed_W")
+    x_map = None
+    if object_kernel == "rbf":
+        x_map, _ = gp.make_rff_map(
+            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
+        )
+    model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
+                enc_features=tuple(enc_features), dec_features=tuple(dec_features))
+    tr = dataset.train_idx
+    Q = dataset.num_views
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+    d_all = jnp.full((Q,), object_id, jnp.int32)
+    q_all = jnp.arange(Q, dtype=jnp.int32)
+
+    @jax.jit
+    def run(params, fixed_W):
+        Z0 = encode_all(model, params["vae"], images_tr, min(1024, len(tr)))
+        y_pred, _ = predict_heldout(
+            model, params, fixed_W, Z0, d_tr, q_tr, d_all, q_all,
+            jnp.zeros((Q, *dataset.image_shape), jnp.float32),
+            x_map=x_map, extra_effects=tuple(extra_effects),
+        )
+        return y_pred
+
+    return np.asarray(run(params, fixed_W))
+
+
+def sample_prior(
+    state: dict,
+    dataset: GridDataset,
+    num_samples: int,
+    *,
+    zdim: int,
+    enc_features=(32, 64, 128),
+    dec_features=(128, 64, 32),
+    object_kernel: str = "linear",
+    rff_features: int = 32,
+    rff_lengthscale: float = 1.0,
+    extra_effects: tuple = (),
+    seed: int = 0,
+) -> np.ndarray:
+    """Unconditional generation from the learned GP prior: draw latent rows
+    z = U ε_r + √v_n ε_n for randomly chosen (object, view) cells, decode."""
+    params = state["params"]
+    fixed_W = state.get("fixed_W")
+    x_map = None
+    if object_kernel == "rbf":
+        x_map, _ = gp.make_rff_map(
+            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
+        )
+    model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
+                enc_features=tuple(enc_features), dec_features=tuple(dec_features))
+    key = jax.random.PRNGKey(seed)
+    kd, kq, kr, kn = jax.random.split(key, 4)
+    d = jax.random.randint(kd, (num_samples,), 0, dataset.num_objects)
+    q = jax.random.randint(kq, (num_samples,), 0, dataset.num_views)
+    W = params["gp"].get("W", fixed_W)
+    Vs = gp.build_effect_rows(params["gp"]["X"], W, d, q,
+                              extra_effects=tuple(extra_effects), x_map=x_map)
+    v_sig, v_noise = gp.variances_from_log(
+        params["gp"]["log_vs"], params["gp"]["log_vn"]
+    )
+    v_sig = jnp.reshape(v_sig, (-1,))
+    U = jnp.concatenate(
+        [jnp.sqrt(v_sig[i]) * V for i, V in enumerate(Vs)], axis=1
+    )
+    z = U @ jax.random.normal(kr, (U.shape[1], zdim)) + jnp.sqrt(
+        v_noise
+    ) * jax.random.normal(kn, (num_samples, zdim))
+    logits = model.apply(params["vae"], z, method=VAE.decode)
+    return np.asarray(jax.nn.sigmoid(logits))
+
+
 def main(argv=None):
     import argparse
 
@@ -84,6 +182,10 @@ def main(argv=None):
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--zdim", type=int, default=None)
+    p.add_argument("--object", type=int, default=None,
+                   help="synthesize ALL views of this object id")
+    p.add_argument("--sample", type=int, default=0,
+                   help="decode N draws from the learned GP prior")
     p.add_argument("--outdir", default=None)
     args = p.parse_args(argv)
 
@@ -108,9 +210,24 @@ def main(argv=None):
 
     ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
     state = load_pytree(args.state)
+    outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
+
+    if args.object is not None:
+        y_views = synthesize_views(state, ds, args.object, **arch)
+        truth = ds.images[args.object * ds.num_views:(args.object + 1) * ds.num_views]
+        path = os.path.join(outdir, f"views_obj{args.object}.png")
+        save_panel(path, [truth, y_views])
+        print(json.dumps({"views_panel": path, "object": args.object}))
+        return
+    if args.sample:
+        y_s = sample_prior(state, ds, args.sample, **arch)
+        path = os.path.join(outdir, "prior_samples.png")
+        save_panel(path, [y_s])
+        print(json.dumps({"samples_panel": path, "n": int(args.sample)}))
+        return
+
     y_pred, mse = generate_heldout(state, ds, **arch)
     print(json.dumps({"heldout_mse": mse, "n_heldout": len(ds.heldout_idx)}))
-    outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
     save_panel(
         os.path.join(outdir, "oos_panel.png"),
         [ds.images[ds.heldout_idx[:12]], y_pred[:12]],

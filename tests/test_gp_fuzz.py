@@ -13,7 +13,7 @@ from gppvae_tpu import gp
 from gppvae_tpu.gp import dense
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5, deadline=None, derandomize=True)
 @given(
     n=st.integers(4, 180),
     r=st.integers(1, 24),
@@ -33,7 +33,7 @@ def test_nll_matches_dense_fuzz(n, r, l, seed, log_vs, log_vn):
     np.testing.assert_allclose(wood, ref, rtol=1e-8)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=3, deadline=None, derandomize=True)
 @given(
     n=st.integers(8, 120),
     n_star=st.integers(1, 10),

@@ -76,3 +76,23 @@ def test_generate_cli_dis_mode_fixed_W_roundtrip(tmp_path, capsys):
     ])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(rec["heldout_mse"])
+
+
+def test_generate_cli_views_and_samples(tmp_path, capsys):
+    ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
+    out = str(tmp_path / "run")
+    train_gppvae(ds, _cfg(outdir=out))
+
+    from gppvae_tpu.eval.generate import main
+
+    common = ["--state", out + "/final_state", "--data", "synthetic",
+              "--num_objects", "12", "--num_views", "8", "--outdir", out]
+    main([*common, "--object", "3"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["object"] == 3
+    assert (tmp_path / "run" / "views_obj3.png").exists()
+
+    main([*common, "--sample", "6"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n"] == 6
+    assert (tmp_path / "run" / "prior_samples.png").exists()
