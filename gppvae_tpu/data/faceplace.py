@@ -134,11 +134,16 @@ def build_faceplace(
         P, Q = len(uo), len(uv)
         grid = -np.ones((P, Q), dtype=np.int64)
         grid[obj, view] = np.arange(len(raw))
+        # largest complete sub-grid (greedy): drop the worst-covered view
+        # column while no object row is complete, then keep complete rows
+        while not (grid >= 0).all(axis=1).any():
+            if grid.shape[1] <= 1:
+                raise ValueError("no complete object×view sub-grid exists")
+            worst = int(np.argmax((grid < 0).sum(axis=0)))
+            grid = np.delete(grid, worst, axis=1)
         keep = (grid >= 0).all(axis=1)
-        if not keep.any():
-            raise ValueError("no object has a complete set of views")
         grid = grid[keep]
-        P = len(grid)
+        P, Q = grid.shape
         images = raw[grid.reshape(-1)]
     else:
         raise ValueError(f"unknown source {source!r}; want 'synthetic' or 'h5:<path>'")

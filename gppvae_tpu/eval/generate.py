@@ -32,6 +32,22 @@ from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE, encode_all
 
 
+def _check_grid_matches(params, fixed_W, dataset: GridDataset) -> None:
+    """Loud error when the rebuilt dataset's grid doesn't match the
+    checkpoint (JAX gathers clamp out-of-range ids and would otherwise
+    silently produce garbage predictions)."""
+    P = params["gp"]["X"].shape[0]
+    W = params["gp"].get("W", fixed_W)
+    Q = None if W is None else W.shape[0]
+    if dataset.num_objects != P or (Q is not None and dataset.num_views != Q):
+        raise ValueError(
+            f"dataset grid ({dataset.num_objects} objects × "
+            f"{dataset.num_views} views) does not match the checkpoint "
+            f"({P} objects × {Q} views) — pass the same --data/--num_objects/"
+            "--num_views the run was trained with"
+        )
+
+
 def generate_heldout(
     state: dict,
     dataset: GridDataset,
@@ -48,6 +64,7 @@ def generate_heldout(
     """Returns (predicted heldout images, pixel MSE vs ground truth)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
+    _check_grid_matches(params, fixed_W, dataset)
     x_map = None
     if object_kernel == "rbf":
         x_map, _ = gp.make_rff_map(
@@ -98,6 +115,11 @@ def synthesize_views(
     TRAINING rows only (its held-out views are genuinely extrapolated)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
+    _check_grid_matches(params, fixed_W, dataset)
+    if not 0 <= object_id < dataset.num_objects:
+        raise ValueError(
+            f"object {object_id} out of range [0, {dataset.num_objects})"
+        )
     x_map = None
     if object_kernel == "rbf":
         x_map, _ = gp.make_rff_map(
@@ -144,6 +166,7 @@ def sample_prior(
     z = U ε_r + √v_n ε_n for randomly chosen (object, view) cells, decode."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
+    _check_grid_matches(params, fixed_W, dataset)
     x_map = None
     if object_kernel == "rbf":
         x_map, _ = gp.make_rff_map(
@@ -162,9 +185,7 @@ def sample_prior(
         params["gp"]["log_vs"], params["gp"]["log_vn"]
     )
     v_sig = jnp.reshape(v_sig, (-1,))
-    U = jnp.concatenate(
-        [jnp.sqrt(v_sig[i]) * V for i, V in enumerate(Vs)], axis=1
-    )
+    U = gp.scaled_features(Vs, [v_sig[i] for i in range(len(Vs))])
     z = U @ jax.random.normal(kr, (U.shape[1], zdim)) + jnp.sqrt(
         v_noise
     ) * jax.random.normal(kn, (num_samples, zdim))

@@ -25,6 +25,7 @@ from gppvae_tpu.gp.woodbury import (
     gp_nll_from_features,
     kinv_z_core,
     predict_latents,
+    scaled_features,
     variances_from_log,
 )
 from gppvae_tpu.gp.features import (
@@ -42,6 +43,7 @@ from gppvae_tpu.gp import dense
 __all__ = [
     "GPFactors",
     "MIN_V_NOISE",
+    "scaled_features",
     "variances_from_log",
     "factorize",
     "gp_nll",

@@ -64,9 +64,16 @@ class GPFactors(NamedTuple):
     logdet: jax.Array
 
 
-def _scaled_features(Vs: Sequence[jax.Array], v_sigs: Sequence[jax.Array]) -> jax.Array:
+def scaled_features(
+    Vs: Sequence[jax.Array], v_sigs: Sequence[jax.Array]
+) -> jax.Array:
+    """U = [√v_1·V_1 | … | √v_k·V_k] — the scaled feature concatenation
+    every K-touching computation shares (NLL, predictive, prior sampling)."""
     parts = [jnp.sqrt(v) * V for V, v in zip(Vs, v_sigs, strict=True)]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+_scaled_features = scaled_features
 
 
 def factorize(

@@ -1,8 +1,9 @@
 """Backend dispatch for the GP hot ops.
 
 XLA implementations live here (they are one-liners); Pallas implementations
-register themselves lazily from gppvae_tpu/ops/pallas_gram.py et al. to keep
-import time low and to avoid importing pallas on platforms without it.
+register themselves lazily from gppvae_tpu/ops/pallas_gemm.py and
+pallas_chol.py to keep import time low and to avoid importing pallas on
+platforms without it.
 """
 
 from __future__ import annotations

@@ -146,20 +146,25 @@ def factor_prep_pallas(U: jax.Array, Z: jax.Array):
 factor_prep_pallas.defvjp(_fp_fwd, _fp_bwd)
 
 
+def _fits_vmem(r: int, l: int, tile_n: int = _TILE_N) -> bool:
+    """Conservative VMEM budget check (floats): double-buffered input tiles
+    plus the resident accumulator blocks must stay well under ~16 MB."""
+    rp, lp = _round_up(r, _LANE), _round_up(l, _LANE)
+    floats = 2 * tile_n * (rp + lp) + rp * rp + rp * lp
+    return floats * 4 <= 10 * 1024 * 1024
+
+
 def _dispatch_factor_prep(U, Z):
     if U.dtype != jnp.float32 or Z.dtype != jnp.float32:
         return NotImplemented
     if not (_on_tpu() or _interpret()):
         return NotImplemented
+    if not _fits_vmem(U.shape[1], Z.shape[1]):
+        return NotImplemented  # large-R (RFF) configs: XLA handles it
     return factor_prep_pallas(U, Z)
 
 
-def _dispatch_gram(U):
-    if U.dtype != jnp.float32 or not (_on_tpu() or _interpret()):
-        return NotImplemented
-    G, _, _ = factor_prep_pallas(U, jnp.zeros((U.shape[0], 1), U.dtype))
-    return G
-
-
 register_pallas("factor_prep", _dispatch_factor_prep)
-register_pallas("gram", _dispatch_gram)
+# no pallas gram: a standalone Uᵀ U is a single XLA dot that the MXU already
+# handles optimally — the fused kernel only pays when G/UtZ/‖Z‖² share one
+# pass (running it with a dummy Z would stream a wasted zero operand)

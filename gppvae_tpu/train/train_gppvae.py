@@ -139,8 +139,17 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
     Q = dataset.num_views
     aux = dataset.view_aux
     if aux.shape[1] == 1 and dataset.periodic_views:
+        freqs = config.view_num_freqs
+        if config.view_feature_dim is not None:
+            # honor the explicit rank knob: Fourier dims are odd (1 + 2f)
+            if config.view_feature_dim < 3 or config.view_feature_dim % 2 == 0:
+                raise ValueError(
+                    "view_feature_dim must be odd ≥ 3 for periodic view aux "
+                    f"(got {config.view_feature_dim}); Fourier rank is 1+2f"
+                )
+            freqs = (config.view_feature_dim - 1) // 2
         return gp.fourier_view_features(
-            jnp.asarray(aux[:, 0]), num_freqs=config.view_num_freqs
+            jnp.asarray(aux[:, 0]), num_freqs=freqs
         ).astype(jnp.float32)
     if aux.shape[1] == 1:
         degree = (config.view_feature_dim or (2 * config.view_num_freqs + 1)) - 1

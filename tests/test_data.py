@@ -141,3 +141,22 @@ def test_mnist_idx_roundtrip(tmp_path):
     (tmp_path / "bad").write_bytes(b"\x01\x02\x03\x04rest")
     with pytest.raises(ValueError, match="not an IDX file"):
         read_idx(str(tmp_path / "bad"))
+
+
+def test_faceplace_h5_drops_incomplete_view_column(tmp_path):
+    """A view missing for every subject must be dropped (largest complete
+    sub-grid), not crash the loader."""
+    import h5py
+
+    P, Q, S = 4, 4, 16
+    rng = np.random.default_rng(1)
+    rows = [(d, q) for d in range(P) for q in range(Q) if q != 2]
+    imgs = (rng.random((len(rows), S, S, 3)) * 255).astype(np.uint8)
+    path = tmp_path / "faces.h5"
+    with h5py.File(path, "w") as f:
+        f["images"] = imgs
+        f["person"] = np.array([d for d, _ in rows])
+        f["pose"] = np.array([q for _, q in rows])
+    ds = build_faceplace(f"h5:{path}")
+    assert ds.num_objects == P and ds.num_views == Q - 1
+    assert ds.images.shape == (P * (Q - 1), S, S, 3)

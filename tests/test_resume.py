@@ -96,3 +96,20 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n"] == 6
     assert (tmp_path / "run" / "prior_samples.png").exists()
+
+
+def test_generate_cli_rejects_mismatched_grid(tmp_path):
+    ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
+    out = str(tmp_path / "run")
+    train_gppvae(ds, _cfg(outdir=out))
+
+    import pytest as _pytest
+
+    from gppvae_tpu.eval.generate import main
+
+    with _pytest.raises(ValueError, match="does not match the checkpoint"):
+        main([
+            "--state", out + "/final_state",
+            "--data", "synthetic",
+            "--num_objects", "24", "--num_views", "8",  # wrong grid
+        ])

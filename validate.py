@@ -106,6 +106,7 @@ def main():
     }), flush=True)
 
     results = {}
+    per_mode = []
     for mode in ("dis", "joint"):
         cfg = GPPVAETrainConfig(
             mode=mode, zdim=16, epochs=args.epochs, batch_size=128,
@@ -118,6 +119,8 @@ def main():
         r = train_gppvae(ds, cfg, vae_params=vae.vae_params, log=NullLogger())
         first, last = r.history[0], r.history[-1]
         results[mode] = last["oos_mse"]
+        per_mode.append({"oos_mse": last["oos_mse"],
+                         "oos_mse_epoch0": first["oos_mse"]})
         print(json.dumps({
             "model": f"gppvae_{mode}",
             "oos_mse": last["oos_mse"],
@@ -128,6 +131,8 @@ def main():
         }), flush=True)
 
     ok = results["joint"] < base_mean and results["joint"] < base_view
+    # and each GPPVAE variant must have improved on its own epoch-0 state
+    ok = ok and all(r["oos_mse"] < r["oos_mse_epoch0"] for r in per_mode)
     print(json.dumps({
         "verdict": "PASS" if ok else "FAIL",
         "joint_vs_best_baseline": results["joint"] / min(base_mean, base_view),
