@@ -170,3 +170,12 @@ def test_nll_core_on_tpu_compiled():
     ref = ops.woodbury_nll_core(G, UtZ, zn, vn, 6400, 16, impl="xla")
     out = ops.woodbury_nll_core(G, UtZ, zn, vn, 6400, 16, impl="pallas")
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_factor_prep_declines_large_rank_to_xla():
+    """RFF-scale R must fall back to XLA (VMEM budget guard), not abort."""
+    U = jnp.ones((256, 2048), jnp.float32)
+    Z = jnp.ones((256, 8), jnp.float32)
+    g, utz, zn = ops.factor_prep(U, Z, impl="pallas")  # silently XLA
+    np.testing.assert_allclose(g[0, 0], 256.0)
+    np.testing.assert_allclose(zn, 2048.0)
