@@ -87,6 +87,11 @@ def make_grid_split(
     val fraction; remainder trains. Deterministic in `seed`.
     """
     rng = np.random.default_rng(seed)
+    if not 0 <= heldout_per_object < Q:
+        raise ValueError(
+            f"heldout_per_object={heldout_per_object} must leave at least "
+            f"one training view per object (Q={Q})"
+        )
     n = P * Q
     heldout = np.zeros(n, dtype=bool)
     for d in range(P):

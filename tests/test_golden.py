@@ -73,6 +73,19 @@ def test_golden_vae(goldens):
     _check_or_regen(goldens, "vae", _traj(result.history, _TRACKED_VAE))
 
 
+def test_golden_cvae(goldens):
+    from gppvae_tpu.train import CVAETrainConfig, train_cvae
+
+    ds = _dataset()
+    config = CVAETrainConfig(
+        zdim=6, epochs=2, batch_size=16, lr=1e-3, seed=7,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    result = train_cvae(ds, config)
+    traj = _traj(result.history, ("loss", "recon_term", "kl_term", "mse", "oos_mse"))
+    _check_or_regen(goldens, "cvae", traj)
+
+
 @pytest.mark.parametrize("mode", ["dis", "joint"])
 def test_golden_gppvae(goldens, mode):
     ds = _dataset()
