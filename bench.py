@@ -57,6 +57,7 @@ def main():
         "vs_baseline": vs,
         "extra": {
             "device": str(jax.devices()[0]),
+            "images_per_sec": round(len(ds.train_idx) / sec_epoch),
             "n_train": int(len(ds.train_idx)),
             "epochs_timed": epochs - 10,
             "total_wall_s": round(total, 1),
