@@ -61,6 +61,8 @@ def surrogate_batch_term(
     v_batch: jax.Array,
     aux: Any,
     num_total: int,
+    *,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Per-minibatch GP loss term from the Taylor surrogate.
 
@@ -70,14 +72,32 @@ def surrogate_batch_term(
     (differentiable) variance raw params. The coefficients are constants
     (stop-gradient'd by construction — they were computed in a separate
     trace), so d(term)/d(z_batch) = dZ[idx] exactly, etc.
+
+    weights: optional (b,) 0/1 row mask (train/batching.py pads the final
+    batch of an epoch by wrap-around); masked rows contribute nothing, and
+    the variance-coefficient share scales with the VALID row count, so the
+    epoch-accumulated gradient equals the exact full-data NLL gradient for
+    any N — not just bs | N.
     """
     dZb = jax.lax.stop_gradient(coeffs.dZ[idx])
     dVb = jax.tree.map(lambda a: jax.lax.stop_gradient(a[idx]), coeffs.dV)
-    term = jnp.sum(dZb * z_batch) + sum(
-        jnp.sum(g * v)
-        for g, v in zip(jax.tree.leaves(dVb), jax.tree.leaves(v_batch), strict=True)
-    )
-    frac = idx.shape[0] / num_total
+    if weights is None:
+        term = jnp.sum(dZb * z_batch) + sum(
+            jnp.sum(g * v)
+            for g, v in zip(
+                jax.tree.leaves(dVb), jax.tree.leaves(v_batch), strict=True
+            )
+        )
+        frac = idx.shape[0] / num_total
+    else:
+        weights = weights.astype(z_batch.dtype)
+        term = jnp.sum(weights * jnp.sum(dZb * z_batch, axis=1)) + sum(
+            jnp.sum(weights * jnp.sum(g * v, axis=1))
+            for g, v in zip(
+                jax.tree.leaves(dVb), jax.tree.leaves(v_batch), strict=True
+            )
+        )
+        frac = jnp.sum(weights) / num_total
     daux = jax.lax.stop_gradient(coeffs.daux)
     aux_dot = sum(
         jnp.vdot(g, a)

@@ -38,6 +38,7 @@ def encode_all(
     *,
     method=None,
     extra: tuple = (),
+    batch_sharding=None,
 ) -> jax.Array:
     """Grad-free full-dataset encode (latent means) — GPPVAE Phase A.
 
@@ -45,7 +46,10 @@ def encode_all(
     regardless of N; used by the trainers and the eval CLI alike.
 
     method: encoder method (defaults to VAE.encode); extra: additional
-    per-row arrays passed alongside the images (e.g. the CVAE's view ids).
+    per-row arrays passed alongside the images (e.g. the CVAE's view ids);
+    batch_sharding: under SPMD, the NamedSharding each scanned chunk keeps
+    its rows in (chunk must divide by the data-axis size) — chunking and
+    N-row sharding compose, so Phase A stays bounded-memory on a mesh.
     """
     method = method or VAE.encode
     n = images.shape[0]
@@ -59,7 +63,10 @@ def encode_all(
         return padded.reshape(-1, chunk, *a.shape[1:])
 
     def enc(_, rows):
-        mu, _lv = model.apply(params, rows[0], *rows[1:], method=method)
+        y = rows[0]
+        if batch_sharding is not None:
+            y = jax.lax.with_sharding_constraint(y, batch_sharding)
+        mu, _lv = model.apply(params, y, *rows[1:], method=method)
         return None, mu
 
     _, Z = jax.lax.scan(enc, None, tuple(padchunk(a) for a in (images, *extra)))

@@ -19,8 +19,11 @@ ranks) so the math layer never needs to care.
 from gppvae_tpu.ops.dispatch import (
     factor_prep,
     get_backend,
+    get_mesh,
     set_backend,
+    set_mesh,
     use_backend,
+    use_mesh,
     gram,
     matmul_tn,
     sqnorm,
@@ -30,8 +33,11 @@ from gppvae_tpu.ops.dispatch import (
 __all__ = [
     "factor_prep",
     "get_backend",
+    "get_mesh",
     "set_backend",
+    "set_mesh",
     "use_backend",
+    "use_mesh",
     "gram",
     "matmul_tn",
     "sqnorm",

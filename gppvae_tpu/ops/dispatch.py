@@ -18,6 +18,33 @@ import jax.numpy as jnp
 _BACKEND = os.environ.get("GPPVAE_OPS_BACKEND", "xla")
 _PALLAS_IMPLS: dict[str, Callable] = {}
 _PALLAS_LOADED = False
+# (Mesh, data_axis_name) under SPMD training — lets the pallas backend run
+# its fused kernels per-shard inside shard_map with psum'd R-sized outputs
+# (SURVEY.md §5 "Gram UᵀU … computed per-shard then psum over ICI")
+_MESH_AXIS: tuple | None = None
+
+
+def set_mesh(mesh, axis_name: str | None = None) -> None:
+    """Declare the SPMD mesh for subsequent ops (None clears). Row-major
+    operands of N-streaming ops must be sharded on dim 0 over `axis_name`
+    (defaults to the mesh's first axis) with equal shards."""
+    global _MESH_AXIS
+    _MESH_AXIS = None if mesh is None else (mesh, axis_name or mesh.axis_names[0])
+
+
+def get_mesh():
+    return _MESH_AXIS
+
+
+@contextlib.contextmanager
+def use_mesh(mesh, axis_name: str | None = None):
+    global _MESH_AXIS
+    prev = _MESH_AXIS
+    set_mesh(mesh, axis_name)
+    try:
+        yield
+    finally:
+        _MESH_AXIS = prev
 
 
 def set_backend(name: str) -> None:
@@ -128,8 +155,38 @@ def sqnorm(X: jax.Array, *, impl: str | None = None) -> jax.Array:
 
 def factor_prep(U: jax.Array, Z: jax.Array, *, impl: str | None = None):
     """(Uᵀ U, Uᵀ Z, ‖Z‖²) — the Phase-B factor prep, fused in one HBM pass
-    on the pallas backend (SURVEY.md §3.3's Gram + projection + reduction)."""
+    on the pallas backend (SURVEY.md §3.3's Gram + projection + reduction).
+
+    Under a declared mesh (set_mesh) with the pallas backend, the fused
+    kernel runs per-shard inside shard_map and the R-sized outputs are
+    psum'd over the data axis — Pallas and N-sharding compose instead of
+    excluding each other. The XLA path stays auto-SPMD (GSPMD partitions
+    the dots itself)."""
+    if (impl or _BACKEND) == "pallas" and _MESH_AXIS is not None:
+        return _factor_prep_shard_map(U, Z)
     return _dispatch("factor_prep", _xla_factor_prep, impl, U, Z)
+
+
+def _factor_prep_shard_map(U: jax.Array, Z: jax.Array):
+    """Per-shard fused Gram/projection/norm + psum over the data axis.
+
+    Each device streams only its N/ndev rows of U and Z through the Pallas
+    kernel (which may still decline per-shard and fall back to XLA); the
+    wire traffic is one R×R + R×L + scalar psum over ICI per call."""
+    mesh, axis = _MESH_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    def local(u, z):
+        out = _dispatch("factor_prep", _xla_factor_prep, None, u, z)
+        return jax.lax.psum(tuple(out), axis)
+
+    # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
+    # annotation; replication of the outputs is guaranteed by the psum above
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)), out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(U, Z)
 
 
 def woodbury_nll_core(G, UtZ, zn, vn, n_rows, l_dims, *, impl: str | None = None):

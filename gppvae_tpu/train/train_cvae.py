@@ -22,6 +22,12 @@ import optax
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.models.cvae import CVAE
 from gppvae_tpu.models.vae import encode_all, reparameterize
+from gppvae_tpu.train.batching import (
+    epoch_batches,
+    epoch_keys,
+    masked_means,
+    num_batches,
+)
 from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
 from gppvae_tpu.utils import MetricsLogger
 
@@ -84,9 +90,9 @@ def train_cvae(
     opt_state = optimizer.init(params)
 
     bs = config.batch_size
-    nb = num_train // bs
-    if nb == 0:
+    if bs > num_train:
         raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+    nb = num_batches(num_train, bs)  # ceil: every row trains every epoch
 
     def oos_eval(params):
         mu = encode_all(
@@ -101,10 +107,10 @@ def train_cvae(
         return y_pred, jnp.mean(jnp.square(y_ho - y_pred))
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(2,))
-    def run_epochs(params, opt_state, n_epochs, base_key):
+    def run_epochs(params, opt_state, n_epochs, keys):
         def minibatch_step(carry, xs):
             params, opt_state = carry
-            pos, step_key = xs
+            pos, w, step_key = xs
 
             def loss_fn(p):
                 y = images_tr[pos]
@@ -116,8 +122,9 @@ def train_cvae(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )
                 kl = kl_standard_normal(mu, logvar)
-                loss = jnp.mean(recon + config.beta_kl * kl)
-                return loss, (jnp.mean(recon), jnp.mean(kl), jnp.mean(mse))
+                # sum over valid rows / constant bs (batching.py convention)
+                loss = jnp.sum(w * (recon + config.beta_kl * kl)) / bs
+                return loss, masked_means(w, recon, kl, mse)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -126,18 +133,17 @@ def train_cvae(
 
         def epoch_body(carry, epoch_key):
             params, opt_state = carry
-            perm = jax.random.permutation(epoch_key, num_train)[: nb * bs]
+            batches, weights = epoch_batches(epoch_key, num_train, bs)
             step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
             (params, opt_state), metrics = jax.lax.scan(
                 minibatch_step, (params, opt_state),
-                (perm.reshape(nb, bs), step_keys),
+                (batches, weights, step_keys),
             )
             _, oos = oos_eval(params)
             return (params, opt_state), jnp.concatenate(
                 [jnp.mean(metrics, axis=0), jnp.stack([oos])]
             )
 
-        keys = jax.random.split(base_key, n_epochs)
         (params, opt_state), rows = jax.lax.scan(
             epoch_body, (params, opt_state), keys
         )
@@ -147,9 +153,12 @@ def train_cvae(
     done = 0
     while done < config.epochs:
         e = min(config.epochs_per_dispatch, config.epochs - done)
-        rng, step_key = jax.random.split(rng)
         t0 = time.perf_counter()
-        params, opt_state, rows = run_epochs(params, opt_state, e, step_key)
+        # absolute-epoch keys (batching.epoch_keys): trajectory invariant to
+        # epochs_per_dispatch
+        params, opt_state, rows = run_epochs(
+            params, opt_state, e, epoch_keys(rng, done, e)
+        )
         rows = np.asarray(jax.device_get(rows))
         sec = (time.perf_counter() - t0) / e
         for i in range(e):

@@ -32,10 +32,13 @@ Modes:
   'joint'  view features W learned too — the full GPPVAE-joint
            (BASELINE.json:9).
 
-Loss convention (see train/losses.py): every term is a per-sample batch
-mean; the GP surrogate term divides `gp.surrogate_batch_term` by the batch
-size, which makes the epoch-accumulated GP gradient equal (1/b)·∇NLL of the
-exact full-dataset NLL at the expansion point (property-tested).
+Loss convention (see train/losses.py and train/batching.py): per-sample
+terms are summed over the valid rows of the batch and divided by the
+constant batch size (equal to the batch mean when the batch is full); the
+final batch of each epoch is wrap-around-padded and masked so EVERY row
+trains every epoch, and the epoch-accumulated GP-surrogate gradient equals
+(1/b)·∇NLL of the exact full-dataset NLL at the expansion point for any N
+(property-tested, including non-divisible N/bs).
 """
 
 from __future__ import annotations
@@ -63,6 +66,12 @@ from gppvae_tpu.parallel import (
     shard_params_model_axis,
     shard_rows,
     trim_to_multiple,
+)
+from gppvae_tpu.train.batching import (
+    epoch_batches,
+    epoch_keys,
+    masked_means,
+    num_batches,
 )
 from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
 from gppvae_tpu.utils import MetricsLogger, PhaseTimer, maybe_trace
@@ -203,13 +212,17 @@ class _Loop:
             if e not in ("object", "view"):
                 raise ValueError(f"unknown extra effect {e!r}")
         self.batch_sharding = row_sharding(mesh) if mesh is not None else None
-        self.chunk = num_train if mesh is not None else min(
-            config.encode_chunk, num_train
-        )
+        self.chunk = min(config.encode_chunk, num_train)
+        if mesh is not None:
+            # chunks stay row-sharded (encode_all constrains each scanned
+            # chunk), so round to the data-axis size — bounded activation
+            # footprint even at FacePlace scale on a mesh (no full-N encode)
+            ndev = mesh.shape[mesh.axis_names[0]]
+            self.chunk = max(ndev, (self.chunk // ndev) * ndev)
         bs = config.batch_size
-        self.nb = num_train // bs
-        if self.nb == 0:
+        if bs > num_train:
             raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+        self.nb = num_batches(num_train, bs)  # ceil: every row trains
 
     def build_effects(self, X, W, d, q):
         return gp.build_effect_rows(
@@ -219,7 +232,8 @@ class _Loop:
 
     # -- phase A+B
     def refresh_and_solve(self, params, fixed_W, images_tr, d_tr, q_tr):
-        Z0 = _encode_all(self.model, params["vae"], images_tr, self.chunk)
+        Z0 = _encode_all(self.model, params["vae"], images_tr, self.chunk,
+                         batch_sharding=self.batch_sharding)
         W = params["gp"]["W"] if self.learn_W else fixed_W
         V0 = self.build_effects(params["gp"]["X"], W, d_tr, q_tr)
         coeffs = gp.taylor_expand(_gp_nll_fn, Z0, V0, _split_gp_aux(params["gp"]))
@@ -235,7 +249,7 @@ class _Loop:
 
         def minibatch_step(carry, xs):
             params, ov_state, og_state = carry
-            pos, step_key = xs  # positions into the train arrays
+            pos, w, step_key = xs  # positions into the train arrays + mask
 
             def loss_fn(p):
                 sy = (
@@ -255,11 +269,15 @@ class _Loop:
                 v = self.build_effects(p["gp"]["X"], W, d_tr[pos], q_tr[pos])
                 aux = _split_gp_aux(p["gp"])
                 gp_term = gp.surrogate_batch_term(
-                    coeffs, pos, z, v, aux, num_train
+                    coeffs, pos, z, v, aux, num_train, weights=w
                 ) / bs
-                pen = jnp.mean(neg_entropy(logvar))
-                loss = jnp.mean(recon) + gp_term + pen
-                return loss, (jnp.mean(recon), gp_term, pen, jnp.mean(mse))
+                pen_rows = neg_entropy(logvar)
+                # sum over VALID rows / constant bs: every sample contributes
+                # exactly 1/bs to the epoch gradient (batching.py convention);
+                # equals the old batch mean whenever the batch has no padding
+                loss = (jnp.sum(w * recon) + jnp.sum(w * pen_rows)) / bs + gp_term
+                recon_m, pen_m, mse_m = masked_means(w, recon, pen_rows, mse)
+                return loss, (recon_m, gp_term, pen_m, mse_m)
 
             (loss, aux_m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             vae_updates, ov2 = self.opt_vae.update(grads["vae"], ov_state,
@@ -272,11 +290,11 @@ class _Loop:
             }
             return (params, ov2, og2), jnp.stack([loss, *aux_m])
 
-        perm = jax.random.permutation(epoch_key, num_train)[: self.nb * bs]
-        batches = perm.reshape(self.nb, bs)
+        batches, weights = epoch_batches(epoch_key, num_train, bs)
         step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), self.nb)
         (params, ov_state, og_state), metrics = jax.lax.scan(
-            minibatch_step, (params, ov_state, og_state), (batches, step_keys),
+            minibatch_step, (params, ov_state, og_state),
+            (batches, weights, step_keys),
             unroll=min(config.scan_unroll, self.nb),
         )
         return params, ov_state, og_state, jnp.mean(metrics, axis=0)
@@ -297,7 +315,7 @@ class _Loop:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def fused(params, ov_state, og_state, fixed_W, images_tr, d_tr, q_tr,
-                  y_ho, d_ho, q_ho, base_key):
+                  y_ho, d_ho, q_ho, keys):
             def body(carry, epoch_key):
                 params, ov_state, og_state = carry
                 Z0, coeffs = self.refresh_and_solve(
@@ -322,12 +340,12 @@ class _Loop:
                 ])
                 return (params, ov_state, og_state), row
 
-            keys = jax.random.split(base_key, n_epochs)
             (params, ov_state, og_state), rows = jax.lax.scan(
                 body, (params, ov_state, og_state), keys
             )
             # close the last epoch: fresh refresh + eval of the FINAL state
-            Z_fin = _encode_all(self.model, params["vae"], images_tr, self.chunk)
+            Z_fin = _encode_all(self.model, params["vae"], images_tr, self.chunk,
+                                batch_sharding=self.batch_sharding)
             y_pred, oos_fin = self.oos(
                 params, fixed_W, Z_fin, d_tr, q_tr, d_ho, q_ho, y_ho
             )
@@ -354,15 +372,20 @@ def train_gppvae(
         raise ValueError(f"unknown mode {config.mode!r}; want 'joint' or 'dis'")
     backend = config.ops_backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" and mesh is None else "xla"
+        # pallas composes with the mesh (per-shard kernels inside shard_map,
+        # ops.factor_prep) — no XLA forcing under SPMD anymore
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     prev_backend = ops.get_backend()
+    prev_mesh = ops.get_mesh()
     ops.set_backend(backend)
+    ops.set_mesh(mesh)
     try:
         return _train_gppvae_impl(
             dataset, config, vae_params=vae_params, mesh=mesh, log=log
         )
     finally:
         ops.set_backend(prev_backend)
+        ops.set_mesh(*(prev_mesh or (None,)))
 
 
 def _setup(dataset, config, vae_params, mesh):
@@ -470,8 +493,8 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh)
 
     history: list[dict] = []
-    if start_epoch:
-        rng = jax.random.fold_in(rng, start_epoch)  # distinct stream on resume
+    # per-epoch keys are fold_in(rng, epoch) (batching.epoch_keys), so a
+    # resumed run replays exactly the uninterrupted stream from start_epoch
     runner = _run_profiled if config.profile_phases else _run_fused
     with maybe_trace(config.profile_dir):
         params, ov_state, og_state = runner(
@@ -506,11 +529,11 @@ def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
         e = min(config.epochs_per_dispatch, config.epochs - done)
         if e not in fused_cache:
             fused_cache[e] = loop.make_fused_fn(e)
-        rng, step_key = jax.random.split(rng)
+        keys = epoch_keys(rng, done, e)
         t0 = time.perf_counter()
         params, ov_state, og_state, rows, y_pred = fused_cache[e](
             params, ov_state, og_state, fixed_W, a["images_tr"], a["d_tr"],
-            a["q_tr"], a["y_ho"], a["d_ho"], a["q_ho"], step_key,
+            a["q_tr"], a["y_ho"], a["d_ho"], a["q_ho"], keys,
         )
         rows = np.asarray(jax.device_get(rows))
         sec = (time.perf_counter() - t0) / e
@@ -527,8 +550,9 @@ def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
         if config.outdir:
             _epoch_artifacts(
                 model, params, a["images_tr"], y_pred, a["y_ho"], config,
-                done - 1, rng, fixed_W=fixed_W, ov_state=ov_state,
-                og_state=og_state,
+                done - 1, jax.random.fold_in(keys[-1], 2), fixed_W=fixed_W,
+                ov_state=ov_state, og_state=og_state,
+                window=e,
             )
     return params, ov_state, og_state
 
@@ -540,12 +564,13 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
     minibatch = jax.jit(loop.minibatch_epoch, donate_argnums=(0, 1, 2))
     oos_fn = jax.jit(loop.oos)
     encode = jax.jit(
-        lambda p: _encode_all(loop.model, p["vae"], a["images_tr"], loop.chunk)
+        lambda p: _encode_all(loop.model, p["vae"], a["images_tr"], loop.chunk,
+                              batch_sharding=loop.batch_sharding)
     )
     timer = PhaseTimer()
     for epoch in range(start_epoch, config.epochs):
         t0 = time.perf_counter()
-        rng, epoch_key = jax.random.split(rng)
+        epoch_key = jax.random.fold_in(rng, epoch)
         with timer.phase("A_refresh_B_solve"):
             Z0, coeffs = refresh_solve(
                 params, fixed_W, a["images_tr"], a["d_tr"], a["q_tr"]
@@ -593,9 +618,17 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
 
 
 def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
-                     key, *, fixed_W=None, ov_state=None, og_state=None):
+                     key, *, fixed_W=None, ov_state=None, og_state=None,
+                     window=1):
+    # cadence fires when a multiple of `every` lies in the dispatch window
+    # (epoch-window, epoch] — with window=1 this is the plain epoch % every
+    # == 0; the fused path passes window=epochs_per_dispatch so cadences
+    # misaligned with the dispatch size still fire (ADVICE.md round-1 fix)
+    def crossed(every):
+        return bool(every) and (epoch // every) > ((epoch - window) // every)
+
     last = epoch >= config.epochs - 1
-    if config.panel_every and (epoch % config.panel_every == 0 or last):
+    if config.panel_every and (crossed(config.panel_every) or last):
         y = images_tr[:8]
         logits, *_ = model.apply(params["vae"], y, key)
         save_panel(
@@ -607,7 +640,7 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
                 np.asarray(y_pred[:8]),
             ],
         )
-    if config.checkpoint_every and epoch % config.checkpoint_every == 0 and not last:
+    if crossed(config.checkpoint_every) and not last:
         save_pytree(
             os.path.join(config.outdir, f"state_{epoch + 1:04d}"),
             {

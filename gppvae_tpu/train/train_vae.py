@@ -26,6 +26,12 @@ from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE
 from gppvae_tpu.parallel import replicated, row_sharding, shard_rows
+from gppvae_tpu.train.batching import (
+    epoch_batches,
+    epoch_keys,
+    masked_means,
+    num_batches,
+)
 from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
 from gppvae_tpu.utils import MetricsLogger
 
@@ -78,16 +84,16 @@ def make_epochs_fn(
     (zero host↔device sync within the super-step — same fused-pipeline
     design as train_gppvae)."""
     bs = config.batch_size
-    nb = num_train // bs
-    if nb == 0:
+    if bs > num_train:
         raise ValueError(f"batch_size {bs} exceeds train set {num_train}")
+    nb = num_batches(num_train, bs)  # ceil: every row trains every epoch
     batch_sharding = row_sharding(mesh) if mesh is not None else None
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def epochs_fn(params, opt_state, images, train_idx, val_idx, base_key):
+    def epochs_fn(params, opt_state, images, train_idx, val_idx, keys):
         def minibatch_step(carry, xs):
             params, opt_state = carry
-            batch_idx, step_key = xs
+            batch_idx, w, step_key = xs
 
             def loss_fn(p):
                 y = images[batch_idx]
@@ -99,8 +105,9 @@ def make_epochs_fn(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )
                 kl = kl_standard_normal(mu, logvar)
-                loss = jnp.mean(recon + config.beta_kl * kl)
-                return loss, (jnp.mean(recon), jnp.mean(kl), jnp.mean(mse))
+                # sum over valid rows / constant bs (batching.py convention)
+                loss = jnp.sum(w * (recon + config.beta_kl * kl)) / bs
+                return loss, masked_means(w, recon, kl, mse)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -109,11 +116,11 @@ def make_epochs_fn(
 
         def epoch_body(carry, epoch_key):
             params, opt_state = carry
-            perm = jax.random.permutation(epoch_key, train_idx)[: nb * bs]
-            batches = perm.reshape(nb, bs)
+            batches, weights = epoch_batches(epoch_key, train_idx, bs)
             step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), nb)
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch_step, (params, opt_state), (batches, step_keys)
+                minibatch_step, (params, opt_state),
+                (batches, weights, step_keys)
             )
             row = jnp.mean(metrics, axis=0)
             if val_idx is not None:
@@ -133,7 +140,6 @@ def make_epochs_fn(
                 ])
             return (params, opt_state), row
 
-        keys = jax.random.split(base_key, n_epochs)
         (params, opt_state), rows = jax.lax.scan(
             epoch_body, (params, opt_state), keys
         )
@@ -182,9 +188,11 @@ def train_vae(
                 model, optimizer, config, len(dataset.train_idx), e, mesh
             )
         t0 = time.perf_counter()
-        rng, step_key, eval_key = jax.random.split(rng, 3)
+        # keys keyed by absolute epoch (batching.epoch_keys): the trajectory
+        # is invariant to epochs_per_dispatch and resume boundaries
+        keys = epoch_keys(rng, done, e)
         params, opt_state, rows = fns[e](
-            params, opt_state, images, train_idx, val_idx, step_key
+            params, opt_state, images, train_idx, val_idx, keys
         )
         rows = np.asarray(jax.device_get(rows))
         sec = (time.perf_counter() - t0) / e
@@ -207,7 +215,8 @@ def train_vae(
 
         if config.outdir:
             _epoch_artifacts(
-                model, params, images, dataset, config, done - 1, eval_key
+                model, params, images, dataset, config, done - 1,
+                jax.random.fold_in(keys[-1], 3),
             )
 
     if config.outdir:

@@ -24,7 +24,9 @@ from gppvae_tpu.train import (
 
 GOLDEN_PATH = pathlib.Path(__file__).parent / "goldens" / "trajectories.json"
 REGEN = os.environ.get("GOLDEN_REGEN") == "1"
-RTOL = 2e-4  # fp32, same platform, deterministic seeds
+RTOL = 1e-5  # SURVEY.md §4.3 target: ≤1e-5 rel fp32 (fixed platform, same
+# jit program, deterministic seeds — reruns are observed bit-identical; the
+# margin only absorbs XLA-version drift)
 
 _TRACKED_VAE = ("loss", "recon_term", "kl_term", "mse")
 _TRACKED_GPP = ("loss", "recon_term", "gp_term", "pen_term", "gp_nll_full", "oos_mse")
