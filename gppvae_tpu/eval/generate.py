@@ -198,10 +198,14 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description="GPPVAE out-of-sample generation")
     p.add_argument("--state", required=True, help="final_state checkpoint dir")
-    p.add_argument("--data", default="synthetic")
-    p.add_argument("--num_objects", type=int, default=400)
-    p.add_argument("--num_views", type=int, default=16)
-    p.add_argument("--seed", type=int, default=0)
+    # dataset flags default from the run's sidecar config.json so the
+    # evaluated data/split is the one the run trained on (a non-default
+    # training seed silently rebuilt DIFFERENT synthetic images before —
+    # same grid shape, so _check_grid_matches could not catch it)
+    p.add_argument("--data", default=None)
+    p.add_argument("--num_objects", type=int, default=None)
+    p.add_argument("--num_views", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--zdim", type=int, default=None)
     p.add_argument("--object", type=int, default=None,
                    help="synthesize ALL views of this object id")
@@ -222,6 +226,7 @@ def main(argv=None):
         "seed": 0,
     }
     cfg_path = os.path.join(run_dir, "config.json")
+    saved = {}
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             saved = json.load(f)
@@ -229,7 +234,19 @@ def main(argv=None):
     if args.zdim is not None:
         arch["zdim"] = args.zdim
 
-    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    saved_ds = saved.get("dataset", {})
+    data = args.data if args.data is not None else saved.get("data") or "synthetic"
+    num_objects = (
+        args.num_objects if args.num_objects is not None
+        else saved_ds.get("num_objects", 400)
+    )
+    num_views = (
+        args.num_views if args.num_views is not None
+        else saved_ds.get("num_views", 16)
+    )
+    seed = args.seed if args.seed is not None else saved.get("seed", 0)
+
+    ds = build_dataset_from_flag(data, num_objects, num_views, seed)
     state = load_pytree(args.state)
     outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
 

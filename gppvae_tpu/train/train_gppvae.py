@@ -126,6 +126,8 @@ class GPPVAETrainConfig:
     outdir: str | None = None
     panel_every: int = 0
     checkpoint_every: int = 0
+    data: str | None = None  # the CLI --data flag, recorded in the sidecar
+    # config.json so eval tooling rebuilds the SAME dataset by default
 
 
 @dataclasses.dataclass
@@ -460,12 +462,23 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     own_log = log is None
     log = log or MetricsLogger(config.outdir)
     if config.outdir:
-        # sidecar config so eval tooling can rebuild the exact model
+        # sidecar config so eval tooling can rebuild the exact model AND the
+        # exact dataset (grid shape + seed; generate.py defaults from this)
         os.makedirs(config.outdir, exist_ok=True)
         with open(os.path.join(config.outdir, "config.json"), "w") as f:
             import json
 
-            json.dump(dataclasses.asdict(config), f, indent=1, default=list)
+            json.dump(
+                {
+                    **dataclasses.asdict(config),
+                    "dataset": {
+                        "name": dataset.name,
+                        "num_objects": dataset.num_objects,
+                        "num_views": dataset.num_views,
+                    },
+                },
+                f, indent=1, default=list,
+            )
     model, params, fixed_W, arrays, rng, num_train = _setup(
         dataset, config, vae_params, mesh
     )
@@ -692,7 +705,7 @@ def main(argv=None):
         lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
         obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
         compute_dtype=args.dtype, vae_weights=args.vae_weights,
-        resume=args.resume,
+        resume=args.resume, data=args.data,
         epochs_per_dispatch=args.epochs_per_dispatch,
         profile_phases=args.profile_phases,
         profile_dir=args.profile_dir,

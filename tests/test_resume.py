@@ -113,6 +113,27 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     assert (tmp_path / "run" / "prior_samples.png").exists()
 
 
+def test_generate_cli_defaults_dataset_from_sidecar(tmp_path, capsys):
+    """A run trained with a non-default seed evaluated WITHOUT dataset flags
+    must rebuild the run's own data from the sidecar config.json — not a
+    different seed-0 dataset of identical grid shape (ADVICE.md round-1)."""
+    ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=5)
+    out = str(tmp_path / "run")
+    train_gppvae(ds, _cfg(outdir=out, seed=5))
+
+    from gppvae_tpu.eval.generate import main
+
+    main(["--state", out + "/final_state", "--outdir", out])
+    implicit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    main(["--state", out + "/final_state", "--data", "synthetic",
+          "--num_objects", "12", "--num_views", "8", "--seed", "5",
+          "--outdir", out])
+    explicit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert implicit["heldout_mse"] == explicit["heldout_mse"]
+    assert implicit["n_heldout"] == 12
+
+
 def test_generate_cli_rejects_mismatched_grid(tmp_path):
     ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
     out = str(tmp_path / "run")

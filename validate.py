@@ -81,9 +81,14 @@ def main():
 
     def nearest_train(d, q, step):
         qq = (q + step) % Q
-        while not train_mask[d * Q + qq]:
+        for _ in range(Q):  # bounded: an object could lose every train view
+            if train_mask[d * Q + qq]:
+                return d * Q + qq
             qq = (qq + step) % Q
-        return d * Q + qq
+        raise ValueError(
+            f"object {d} has no training views (all {Q} drawn into "
+            "val/heldout); lower val_fraction or heldout_per_object"
+        )
 
     lo = np.array([nearest_train(d, q, -1) for d, q in zip(d_ho, q_ho)])
     hi = np.array([nearest_train(d, q, +1) for d, q in zip(d_ho, q_ho)])
