@@ -65,11 +65,10 @@ def generate_heldout(
     params = state["params"]
     fixed_W = state.get("fixed_W")
     _check_grid_matches(params, fixed_W, dataset)
-    x_map = None
-    if object_kernel == "rbf":
-        x_map, _ = gp.make_rff_map(
-            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
-        )
+    x_map = gp.make_x_map(
+        object_kernel, params["gp"]["X"].shape[1], rff_features,
+        rff_lengthscale, seed, state.get("nystrom_idx"),
+    )
     model = VAE(
         zdim=zdim,
         image_shape=tuple(dataset.image_shape),
@@ -120,11 +119,10 @@ def synthesize_views(
         raise ValueError(
             f"object {object_id} out of range [0, {dataset.num_objects})"
         )
-    x_map = None
-    if object_kernel == "rbf":
-        x_map, _ = gp.make_rff_map(
-            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
-        )
+    x_map = gp.make_x_map(
+        object_kernel, params["gp"]["X"].shape[1], rff_features,
+        rff_lengthscale, seed, state.get("nystrom_idx"),
+    )
     model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
                 enc_features=tuple(enc_features), dec_features=tuple(dec_features))
     tr = dataset.train_idx
@@ -167,11 +165,10 @@ def sample_prior(
     params = state["params"]
     fixed_W = state.get("fixed_W")
     _check_grid_matches(params, fixed_W, dataset)
-    x_map = None
-    if object_kernel == "rbf":
-        x_map, _ = gp.make_rff_map(
-            params["gp"]["X"].shape[1], rff_features, rff_lengthscale, seed=seed
-        )
+    x_map = gp.make_x_map(
+        object_kernel, params["gp"]["X"].shape[1], rff_features,
+        rff_lengthscale, seed, state.get("nystrom_idx"),
+    )
     model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
                 enc_features=tuple(enc_features), dec_features=tuple(dec_features))
     key = jax.random.PRNGKey(seed)

@@ -34,8 +34,14 @@ from gppvae_tpu.gp.features import (
     fourier_view_features,
     kron_rows,
     make_rff_map,
+    make_x_map,
     normalize_rows,
     polynomial_view_features,
+)
+from gppvae_tpu.gp.nystrom import (
+    compress_rank,
+    nystrom_features,
+    pivoted_cholesky_landmarks,
 )
 from gppvae_tpu.gp.taylor import surrogate_batch_term, taylor_expand, TaylorCoefficients
 from gppvae_tpu.gp import dense
@@ -55,10 +61,14 @@ __all__ = [
     "fourier_view_features",
     "kron_rows",
     "make_rff_map",
+    "make_x_map",
     "normalize_rows",
     "polynomial_view_features",
     "surrogate_batch_term",
     "taylor_expand",
     "TaylorCoefficients",
+    "compress_rank",
+    "nystrom_features",
+    "pivoted_cholesky_landmarks",
     "dense",
 ]

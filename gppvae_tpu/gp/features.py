@@ -116,6 +116,41 @@ def make_rff_map(
     return map_fn, num_features
 
 
+def make_x_map(
+    kind: str,
+    in_dim: int,
+    rff_features: int = 32,
+    lengthscale: float = 1.0,
+    seed: int = 0,
+    nystrom_idx=None,
+):
+    """Object-kernel feature-map factory shared by the trainer and the eval
+    CLI (one definition ⇒ train and eval can never disagree).
+
+      'linear'      → None (identity; the reference's kernel)
+      'rbf'         → random Fourier map at rank rff_features
+      'rbf-nystrom' → the RFF map compressed onto the given landmark object
+                      rows (gp/nystrom.py) — rank = len(nystrom_idx)
+    """
+    if kind == "linear":
+        return None
+    if kind == "rbf":
+        fn, _ = make_rff_map(in_dim, rff_features, lengthscale, seed)
+        return fn
+    if kind == "rbf-nystrom":
+        if nystrom_idx is None:
+            raise ValueError(
+                "object_kernel 'rbf-nystrom' needs landmark indices "
+                "(trainer selects them; checkpoints carry state['nystrom_idx'])"
+            )
+        fn, _ = make_rff_map(in_dim, rff_features, lengthscale, seed)
+        from gppvae_tpu.gp.nystrom import nystrom_features
+
+        idx = jnp.asarray(nystrom_idx)
+        return lambda F: nystrom_features(fn(F), idx)
+    raise ValueError(f"unknown object_kernel {kind!r}")
+
+
 def kron_rows(Xrows: jax.Array, Wrows: jax.Array) -> jax.Array:
     """Row-wise Kronecker (Khatri–Rao) product.
 

@@ -99,12 +99,17 @@ class GPPVAETrainConfig:
     obj_feature_dim: int = 8
     view_num_freqs: int = 3  # fixed Fourier view features → M_w = 2f+1
     view_feature_dim: int | None = None  # learned W dim (joint); default 2f+1
-    # object kernel: 'linear' (reference) or 'rbf' via random Fourier
-    # features over the learned object embeddings (thesis-extension stretch,
-    # SURVEY.md §2.1; rank becomes rff_features·M_w)
+    # object kernel: 'linear' (reference), 'rbf' via random Fourier features
+    # over the learned object embeddings (thesis-extension stretch,
+    # SURVEY.md §2.1; rank becomes rff_features·M_w), or 'rbf-nystrom' —
+    # the RFF map compressed to nystrom_rank landmark objects by pivoted
+    # Cholesky (gp/nystrom.py), so R = nystrom_rank·M_w regardless of
+    # rff_features. Landmarks are selected once from the initial object
+    # features and ride in checkpoints (state['nystrom_idx']).
     object_kernel: str = "linear"
     rff_features: int = 32
     rff_lengthscale: float = 1.0
+    nystrom_rank: int = 16
     # additional low-rank random effects beyond the object×view product
     # (the reference GP's n_rand_effs; K = Σ_r v_r V_r V_rᵀ + v_n I):
     # 'object' adds a per-object effect shared across views (rows x_d),
@@ -189,27 +194,46 @@ def _split_gp_aux(gp_params):
 _encode_all = encode_all  # Phase A = models.encode_all (shared with eval CLI)
 
 
+def build_x_map(config: GPPVAETrainConfig, nystrom_idx=None):
+    """Object-kernel feature map for this config (gp.make_x_map wrapper)."""
+    return gp.make_x_map(
+        config.object_kernel, config.obj_feature_dim, config.rff_features,
+        config.rff_lengthscale, config.seed, nystrom_idx,
+    )
+
+
+def _select_nystrom_landmarks(X0, config: GPPVAETrainConfig) -> jax.Array:
+    """Pick nystrom_rank landmark OBJECTS by greedy pivoted Cholesky on the
+    initial RFF-mapped object features (host-side, once; gp/nystrom.py).
+    Exactly nystrom_rank indices come back (rank-deficient residuals are
+    padded with unused rows) so checkpoint shapes stay static."""
+    rff, _ = gp.make_rff_map(
+        config.obj_feature_dim, config.rff_features,
+        config.rff_lengthscale, seed=config.seed,
+    )
+    F0 = np.asarray(rff(gp.normalize_rows(jnp.asarray(X0))))
+    m = min(config.nystrom_rank, len(F0))
+    idx = gp.pivoted_cholesky_landmarks(F0, m, tol=0.0)
+    if len(idx) < m:
+        rest = np.setdiff1d(np.arange(len(F0), dtype=np.int32), idx)
+        idx = np.concatenate([idx, rest[: m - len(idx)]]).astype(np.int32)
+    return jnp.asarray(idx)
+
+
 class _Loop:
     """Closes over everything static; provides the epoch building blocks
     used by both execution paths."""
 
-    def __init__(self, model, opt_vae, opt_gp, config, num_train, mesh):
+    def __init__(self, model, opt_vae, opt_gp, config, num_train, mesh,
+                 nystrom_idx=None):
         self.model = model
         self.opt_vae = opt_vae
         self.opt_gp = opt_gp
         self.config = config
         self.num_train = num_train
         self.learn_W = config.mode == "joint"
-        self.x_map = None
-        if config.object_kernel == "rbf":
-            self.x_map, _ = gp.make_rff_map(
-                config.obj_feature_dim, config.rff_features,
-                config.rff_lengthscale, seed=config.seed,
-            )
-        elif config.object_kernel != "linear":
-            raise ValueError(
-                f"unknown object_kernel {config.object_kernel!r}"
-            )
+        self.nystrom_idx = nystrom_idx
+        self.x_map = build_x_map(config, nystrom_idx)
         for e in config.extra_effects:
             if e not in ("object", "view"):
                 raise ValueError(f"unknown extra effect {e!r}")
@@ -482,6 +506,9 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     model, params, fixed_W, arrays, rng, num_train = _setup(
         dataset, config, vae_params, mesh
     )
+    nystrom_idx = None
+    if config.object_kernel == "rbf-nystrom":
+        nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
     opt_vae = optax.adam(config.lr_vae)
     opt_gp = optax.adam(config.lr_gp)
     ov_state = opt_vae.init(params["vae"])
@@ -491,6 +518,7 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
         abstract = {
             "params": params, "ov_state": ov_state, "og_state": og_state,
             **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+            **({"nystrom_idx": nystrom_idx} if nystrom_idx is not None else {}),
             "epoch": 0,
         }
         # note: checkpoints written before log_vs became a per-effect vector
@@ -502,8 +530,12 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
         )
         if fixed_W is not None:
             fixed_W = state["fixed_W"]
+        if nystrom_idx is not None:
+            # the run's own landmarks, not a fresh re-selection
+            nystrom_idx = state["nystrom_idx"]
         start_epoch = int(state["epoch"])
-    loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh)
+    loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
+                 nystrom_idx=nystrom_idx)
 
     history: list[dict] = []
     # per-epoch keys are fold_in(rng, epoch) (batching.epoch_keys), so a
@@ -523,6 +555,7 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
                 "ov_state": ov_state,
                 "og_state": og_state,
                 **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+                **({"nystrom_idx": nystrom_idx} if nystrom_idx is not None else {}),
                 "epoch": config.epochs,
             },
         )
@@ -565,7 +598,7 @@ def _run_fused(loop, params, ov_state, og_state, fixed_W, arrays, rng, config,
                 model, params, a["images_tr"], y_pred, a["y_ho"], config,
                 done - 1, jax.random.fold_in(keys[-1], 2), fixed_W=fixed_W,
                 ov_state=ov_state, og_state=og_state,
-                window=e,
+                nystrom_idx=loop.nystrom_idx, window=e,
             )
     return params, ov_state, og_state
 
@@ -625,14 +658,14 @@ def _run_profiled(loop, params, ov_state, og_state, fixed_W, arrays, rng,
             _epoch_artifacts(
                 model, params, a["images_tr"], y_pred, a["y_ho"], config,
                 epoch, epoch_key, fixed_W=fixed_W, ov_state=ov_state,
-                og_state=og_state,
+                og_state=og_state, nystrom_idx=loop.nystrom_idx,
             )
     return params, ov_state, og_state
 
 
 def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
                      key, *, fixed_W=None, ov_state=None, og_state=None,
-                     window=1):
+                     nystrom_idx=None, window=1):
     # cadence fires when a multiple of `every` lies in the dispatch window
     # (epoch-window, epoch] — with window=1 this is the plain epoch % every
     # == 0; the fused path passes window=epochs_per_dispatch so cadences
@@ -661,6 +694,7 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
                 "ov_state": ov_state,
                 "og_state": og_state,
                 **({"fixed_W": fixed_W} if fixed_W is not None else {}),
+                **({"nystrom_idx": nystrom_idx} if nystrom_idx is not None else {}),
                 "epoch": epoch + 1,  # epochs completed — resume from here
             },
         )
@@ -687,6 +721,12 @@ def main(argv=None):
     p.add_argument("--sigma_y", type=float, default=0.1)
     p.add_argument("--xdim", type=int, default=8, help="object feature rank M")
     p.add_argument("--view_freqs", type=int, default=3)
+    p.add_argument("--object_kernel", default="linear",
+                   choices=["linear", "rbf", "rbf-nystrom"])
+    p.add_argument("--rff_features", type=int, default=32,
+                   help="RFF rank for the rbf object kernels")
+    p.add_argument("--nystrom_rank", type=int, default=16,
+                   help="landmark count for object_kernel=rbf-nystrom")
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -704,6 +744,8 @@ def main(argv=None):
         mode=args.mode, zdim=args.zdim, epochs=args.epochs, batch_size=args.bs,
         lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
         obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
+        object_kernel=args.object_kernel, rff_features=args.rff_features,
+        nystrom_rank=args.nystrom_rank,
         compute_dtype=args.dtype, vae_weights=args.vae_weights,
         resume=args.resume, data=args.data,
         epochs_per_dispatch=args.epochs_per_dispatch,
