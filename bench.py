@@ -1,46 +1,177 @@
-"""Benchmark: rotated-MNIST-shaped GPPVAE sec/epoch (BASELINE.json:2).
+"""Benchmark: the five BASELINE.json configs + MFU/roofline accounting.
 
-Runs the flagship GPPVAE-joint config at the paper's benchmark shape
-(P=400 objects × Q=16 views → N=6400 train-ish rows, 32×32 images,
-zdim=16, R = 8·7 = 56) on whatever device JAX selects (the real TPU under
-the driver), measures steady-state sec/epoch (median over post-compile
-epochs), and prints ONE JSON line.
+Headline (the ONE JSON line's value): rotated-MNIST GPPVAE-joint sec/epoch
+at the paper's benchmark shape (P=400 objects × Q=16 views → N=5700 train
+rows after splits, 32×32 images, zdim=16, R = 8·7 = 56), fused pipeline
+(one host sync per 10 epochs), median of post-compile epochs.
+
+`extra.configs` carries every BASELINE.json:7-11 config (vae-pretrain,
+GPPVAE-dis, GPPVAE-joint, face-view 128², OOS-generation throughput) so the
+whole north-star surface is re-measured by one `python bench.py` run.
+
+`extra.mfu` is the roofline: analytic per-epoch FLOPs (utils/flops.py —
+XLA's cost_analysis counts scan bodies once and cannot price the fused
+multi-epoch program; the formulas are validated against cost_analysis on
+unscanned subprograms in tests/test_flops.py) divided by measured
+wall-clock, against the v5e bf16 MXU peak. The workload is fp32 (GP
+numerics), which the MXU executes as multi-pass bf16 at a fraction of peak
+— see BASELINE.md's roofline section for the honest interpretation.
 
 vs_baseline: the reference publishes no benchmark numbers
-(BASELINE.json:13 "published": {}; see BASELINE.md). If a reference number
-ever lands in BASELINE.json as {"published": {"sec_epoch": X}}, this script
-reports X / ours (speedup, >1 = faster than reference); until then null.
+(BASELINE.json "published": {}). If {"published": {"sec_epoch": X}} ever
+lands, this reports X / ours (speedup, >1 = faster than reference).
 """
 
 import json
 import time
 
+BF16_PEAK_FLOPS = 197e12  # TPU v5e MXU peak (bf16); fp32 runs below this
+
+
+def _median_sec(history, skip):
+    times = sorted(h["sec_epoch"] for h in history[skip:])
+    return times[len(times) // 2]
+
 
 def main():
     import jax
 
-    from gppvae_tpu.data import build_rotated_digits
-    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+    from gppvae_tpu.data import build_faceplace, build_rotated_digits
+    from gppvae_tpu.train import (
+        GPPVAETrainConfig,
+        VAETrainConfig,
+        train_gppvae,
+        train_vae,
+    )
+    from gppvae_tpu.utils.flops import gppvae_epoch_flops
     from gppvae_tpu.utils.metrics import NullLogger
 
+    configs = {}
     ds = build_rotated_digits(
         "synthetic", num_objects=400, num_views=16, image_size=32, seed=0,
         cache_dir="/tmp/gppvae_bench_cache",
     )
-    epochs = 30
-    config = GPPVAETrainConfig(
-        mode="joint", zdim=16, epochs=epochs, batch_size=128,
-        obj_feature_dim=8, view_num_freqs=3, seed=0,
-        epochs_per_dispatch=10,  # fused pipeline: one host sync per 10 epochs
+
+    # ---- config 1: vanilla conv-VAE pretrain (BASELINE.json configs[0])
+    vres = train_vae(
+        ds,
+        VAETrainConfig(zdim=16, epochs=16, batch_size=128, seed=0,
+                       epochs_per_dispatch=8),
+        log=NullLogger(),
     )
+    configs["vae_pretrain"] = {
+        "sec_epoch": round(_median_sec(vres.history, 8), 4),
+        "mse": round(vres.history[-1]["mse"], 5),
+    }
 
+    # ---- config 2: GPPVAE-dis (fixed Fourier view kernel)
+    dres = train_gppvae(
+        ds,
+        GPPVAETrainConfig(mode="dis", zdim=16, epochs=20, batch_size=128,
+                          obj_feature_dim=8, view_num_freqs=3, seed=0,
+                          epochs_per_dispatch=10),
+        log=NullLogger(),
+    )
+    configs["gppvae_dis"] = {
+        "sec_epoch": round(_median_sec(dres.history, 10), 4),
+        "oos_mse": round(dres.history[-1]["oos_mse"], 5),
+    }
+
+    # ---- config 3: GPPVAE-joint — THE headline
+    jcfg = GPPVAETrainConfig(
+        mode="joint", zdim=16, epochs=30, batch_size=128,
+        obj_feature_dim=8, view_num_freqs=3, seed=0,
+        epochs_per_dispatch=10,
+    )
     t0 = time.perf_counter()
-    result = train_gppvae(ds, config, log=NullLogger())
-    total = time.perf_counter() - t0
+    jres = train_gppvae(ds, jcfg, log=NullLogger())
+    joint_wall = time.perf_counter() - t0
+    sec_epoch = _median_sec(jres.history, 10)
+    configs["gppvae_joint"] = {
+        "sec_epoch": round(sec_epoch, 4),
+        "oos_mse": round(jres.history[-1]["oos_mse"], 5),
+        "images_per_sec": round(len(ds.train_idx) / sec_epoch),
+    }
 
-    # drop the first dispatch (compile); median of the steady-state epochs
-    times = sorted(h["sec_epoch"] for h in result.history[10:])
-    sec_epoch = times[len(times) // 2]
+    # ---- MFU / roofline for the headline program (analytic FLOPs)
+    rank = jcfg.obj_feature_dim * (2 * jcfg.view_num_freqs + 1)
+    fl = gppvae_epoch_flops(
+        image_shape=ds.image_shape, enc_features=jcfg.enc_features,
+        dec_features=jcfg.dec_features, zdim=jcfg.zdim,
+        n_train=len(ds.train_idx), n_heldout=len(ds.heldout_idx),
+        batch_size=jcfg.batch_size, rank=rank,
+    )
+    achieved = fl["total"] / sec_epoch
+    mfu = {
+        "flops_per_epoch": fl["total"],
+        "flops_phase_c_frac": round(fl["phase_c"] / fl["total"], 3),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved / BF16_PEAK_FLOPS, 4),
+    }
+
+    # ---- config 4: face-view GPPVAE at 128×128 (object×pose kernel)
+    fds = build_faceplace("synthetic", num_people=50, num_poses=8,
+                          image_size=128, seed=0)
+    fres = train_gppvae(
+        fds,
+        GPPVAETrainConfig(mode="joint", zdim=32, epochs=6, batch_size=64,
+                          obj_feature_dim=8, view_num_freqs=3, seed=0,
+                          epochs_per_dispatch=3),
+        log=NullLogger(),
+    )
+    configs["face_view_128"] = {
+        "sec_epoch": round(_median_sec(fres.history, 3), 4),
+        "oos_mse": round(fres.history[-1]["oos_mse"], 5),
+    }
+
+    # ---- config 5: OOS conditional-generation throughput: full protocol
+    # (encoder refresh of the train latents + GP-predictive latents for the
+    # heldout grid cells + decode), one stable jitted program. Inputs are
+    # perturbed per rep to defeat server-side memoization through the relay
+    # (CLAUDE.md: wall-clock microbenchmarks there need real work per call).
+    import jax.numpy as jnp
+
+    from gppvae_tpu.eval.oos import predict_heldout
+    from gppvae_tpu.models import encode_all
+
+    model = jres.model
+    a = {
+        "images_tr": jnp.asarray(ds.images[ds.train_idx]),
+        "d_tr": jnp.asarray(ds.object_ids[ds.train_idx]),
+        "q_tr": jnp.asarray(ds.view_ids[ds.train_idx]),
+        "y_ho": jnp.asarray(ds.images[ds.heldout_idx]),
+        "d_ho": jnp.asarray(ds.object_ids[ds.heldout_idx]),
+        "q_ho": jnp.asarray(ds.view_ids[ds.heldout_idx]),
+    }
+
+    @jax.jit
+    def oos_run(params, fixed_W):
+        Z0 = encode_all(model, params["vae"], a["images_tr"], 1024)
+        return predict_heldout(
+            model, params, fixed_W, Z0, a["d_tr"], a["q_tr"],
+            a["d_ho"], a["q_ho"], a["y_ho"],
+        )
+
+    def perturb(params, i):
+        gp_p = dict(params["gp"])
+        gp_p["X"] = gp_p["X"] + 1e-7 * (i + 1)
+        return {"vae": params["vae"], "gp": gp_p}
+
+    _ = jax.device_get(oos_run(jres.params, jres.fixed_W))  # compile
+    reps = []
+    oos_mse = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        y_pred, mse = oos_run(perturb(jres.params, i), jres.fixed_W)
+        y_pred = jax.device_get(y_pred)  # force full readback
+        reps.append(time.perf_counter() - t0)
+        oos_mse = float(mse)
+    n_ho = len(ds.heldout_idx)
+    configs["oos_generation"] = {
+        "images_per_sec": round(n_ho / min(reps)),
+        "n_heldout": n_ho,
+        "heldout_mse": round(oos_mse, 5),
+    }
 
     baseline = None
     try:
@@ -57,11 +188,10 @@ def main():
         "vs_baseline": vs,
         "extra": {
             "device": str(jax.devices()[0]),
-            "images_per_sec": round(len(ds.train_idx) / sec_epoch),
             "n_train": int(len(ds.train_idx)),
-            "epochs_timed": epochs - 10,
-            "total_wall_s": round(total, 1),
-            "final_oos_mse": round(result.history[-1]["oos_mse"], 5),
+            "joint_total_wall_s": round(joint_wall, 1),
+            "configs": configs,
+            "mfu": mfu,
         },
     }))
 

@@ -52,6 +52,16 @@ def epoch_batches(
     return perm.reshape(nb, bs), weights.reshape(nb, bs)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def _epoch_keys_jit(base: jax.Array, start: jax.Array, n: int) -> jax.Array:
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(n, dtype=jnp.int32) + start
+    )
+
+
 def epoch_keys(base: jax.Array, start: int | jax.Array, n: int) -> jax.Array:
     """Per-epoch RNG keys for epochs [start, start+n): key_e = fold_in(base, e).
 
@@ -59,10 +69,12 @@ def epoch_keys(base: jax.Array, start: int | jax.Array, n: int) -> jax.Array:
     invariant to dispatch boundaries: a resumed run, a different
     epochs_per_dispatch, and an uninterrupted run all consume identical keys
     per epoch (trajectory-preserving resume; golden-pinned).
+
+    `start` is passed as a traced scalar so successive dispatches reuse ONE
+    compiled program — baking it as a constant recompiled every dispatch,
+    which cost ~0.4 s per dispatch through the remote-TPU relay.
     """
-    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
-        jnp.arange(start, start + n)
-    )
+    return _epoch_keys_jit(base, jnp.asarray(start, jnp.int32), n)
 
 
 def masked_means(weights: jax.Array, *terms: jax.Array) -> tuple[jax.Array, ...]:

@@ -700,6 +700,46 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
         )
 
 
+def fused_epoch_cost(dataset, config: GPPVAETrainConfig, mesh=None,
+                     n_epochs: int | None = None) -> dict:
+    """XLA cost analysis (flops, bytes accessed, …) of the compiled fused
+    program covering `n_epochs` epochs (default: config.epochs_per_dispatch)
+    at this config's true shapes. Pallas kernels contribute their declared
+    CostEstimate. Returns {} if the backend doesn't expose cost analysis.
+
+    CAVEAT: XLA counts each lax.scan body ONCE, so this UNDERCOUNTS the
+    looped phases (epoch scan × minibatch scan × encode-chunk scan) by their
+    trip counts — roofline/MFU numbers must come from the analytic
+    utils/flops.py formulas instead (validated against cost_analysis on
+    unscanned subprograms in tests/test_flops.py). This helper remains
+    useful for inspecting what ONE pass of each loop body costs."""
+    backend = config.ops_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    n = n_epochs or config.epochs_per_dispatch
+    with ops.use_backend(backend), ops.use_mesh(mesh):
+        model, params, fixed_W, arrays, rng, num_train = _setup(
+            dataset, config, None, mesh
+        )
+        nystrom_idx = None
+        if config.object_kernel == "rbf-nystrom":
+            nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
+        opt_vae = optax.adam(config.lr_vae)
+        opt_gp = optax.adam(config.lr_gp)
+        loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
+                     nystrom_idx=nystrom_idx)
+        a = arrays
+        try:
+            compiled = loop.make_fused_fn(n).lower(
+                params, opt_vae.init(params["vae"]), opt_gp.init(params["gp"]),
+                fixed_W, a["images_tr"], a["d_tr"], a["q_tr"],
+                a["y_ho"], a["d_ho"], a["q_ho"], epoch_keys(rng, 0, n),
+            ).compile()
+            return dict(compiled.cost_analysis() or {})
+        except Exception:  # pragma: no cover — backend without cost analysis
+            return {}
+
+
 def main(argv=None):
     import argparse
 

@@ -1,0 +1,88 @@
+"""Analytic FLOP formulas (utils/flops.py) vs XLA's own cost analysis on
+UNSCANNED programs (where cost_analysis is trustworthy — it counts scan
+bodies once, which is exactly why the analytic path exists)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gppvae_tpu.models import VAE
+from gppvae_tpu.utils.flops import (
+    decoder_fwd_flops,
+    encoder_fwd_flops,
+    gp_solve_flops,
+)
+
+
+def _xla_flops(fn, *args):
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if not ca or "flops" not in ca:
+        pytest.skip("backend exposes no cost analysis")
+    return ca["flops"]
+
+
+IMAGE = (32, 32, 1)
+ENC = (8, 16)
+DEC = (16, 8)
+ZDIM = 8
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = VAE(zdim=ZDIM, image_shape=IMAGE, enc_features=ENC, dec_features=DEC)
+    y = jnp.zeros((64, *IMAGE), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), y, jax.random.PRNGKey(1))
+    return model, params, y
+
+
+def test_encoder_flops_match_xla(model_and_params):
+    model, params, y = model_and_params
+    xla = _xla_flops(lambda p, y: model.apply(p, y, method=VAE.encode), params, y)
+    analytic = y.shape[0] * encoder_fwd_flops(IMAGE, ENC, ZDIM)
+    # XLA also counts ELUs/padding bookkeeping; the MXU terms dominate
+    assert abs(xla - analytic) / xla < 0.25, (xla, analytic)
+
+
+def test_decoder_flops_match_xla(model_and_params):
+    model, params, _ = model_and_params
+    z = jnp.zeros((64, ZDIM), jnp.float32)
+    xla = _xla_flops(lambda p, z: model.apply(p, z, method=VAE.decode), params, z)
+    analytic = z.shape[0] * decoder_fwd_flops(IMAGE, DEC, ZDIM)
+    assert abs(xla - analytic) / xla < 0.25, (xla, analytic)
+
+
+def test_gp_solve_flops_match_xla():
+    from gppvae_tpu import gp
+
+    N, R, L = 2048, 56, 16
+    U = jnp.zeros((N, R), jnp.float32)
+    Z = jnp.zeros((N, L), jnp.float32)
+
+    def solve(U, Z):
+        return gp.gp_nll_from_features(Z, U, jnp.float32(1.0), jnp.float32(0.5))
+
+    xla = _xla_flops(solve, U, Z)
+    analytic = gp_solve_flops(N, R, L)
+    assert abs(xla - analytic) / max(xla, 1) < 0.35, (xla, analytic)
+
+
+def test_fwd_bwd_is_about_3x_fwd(model_and_params):
+    """The backward=2×forward convention used by gppvae_epoch_flops, checked
+    against XLA's count of an actual value_and_grad program."""
+    model, params, y = model_and_params
+
+    def loss(p, y, z_key):
+        logits, mu, logvar, _ = model.apply(p, y, z_key)
+        return jnp.sum((jax.nn.sigmoid(logits) - y) ** 2) + jnp.sum(mu + logvar)
+
+    key = jax.random.PRNGKey(2)
+    def fwdbwd_fn(p, y, k):
+        v, g = jax.value_and_grad(loss)(p, y, k)
+        # consume the grads so the backward isn't dead-code-eliminated
+        return v + sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    fwd = _xla_flops(loss, params, y, key)
+    fwdbwd = _xla_flops(fwdbwd_fn, params, y, key)
+    ratio = fwdbwd / fwd
+    assert 2.0 < ratio < 4.5, ratio
