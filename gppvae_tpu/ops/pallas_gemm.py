@@ -44,6 +44,33 @@ _LANE = 128
 _TILE_N = 512
 
 
+def _round_up_lane(x: int) -> int:
+    return -(-x // _LANE) * _LANE
+
+
+def _fits_vmem(r: int, l: int, tile: int) -> bool:
+    """Conservative VMEM budget check (floats): double-buffered input tiles
+    plus the resident accumulator blocks must stay well under ~16 MB."""
+    rp, lp = _round_up_lane(r), _round_up_lane(l)
+    floats = 2 * tile * (rp + lp) + rp * rp + rp * lp
+    return floats * 4 <= 10 * 1024 * 1024
+
+
+def tile_n(n: int = 0, r: int = 0, l: int = 0) -> int:
+    """Per-shape N-tile, from the on-device sweep (BASELINE.md "TILE_N
+    sweep", 2026-08-16): at N≈6k throughput is flat across 256–2048 (the
+    pass is launch/grid-overhead bound), while at N=64k it rises ~11% from
+    512→2048 (HBM-streaming bound) — so large N takes the largest tile that
+    fits the VMEM budget. GPPVAE_TILE_N overrides for sweeps."""
+    env = os.environ.get("GPPVAE_TILE_N")
+    if env:
+        return int(env)
+    t = 2048 if n >= 32768 else _TILE_N
+    while t > 128 and not _fits_vmem(r, l, t):
+        t //= 2
+    return t
+
+
 def _interpret() -> bool:
     return os.environ.get("GPPVAE_PALLAS_INTERPRET") == "1"
 
@@ -123,7 +150,7 @@ def _factor_prep_pallas(U: jax.Array, Z: jax.Array, tile_n: int):
 
 
 def _fp_fwd(U, Z):
-    out = _factor_prep_pallas(U, Z, _TILE_N)
+    out = _factor_prep_pallas(U, Z, tile_n(U.shape[0], U.shape[1], Z.shape[1]))
     return out, (U, Z)
 
 
@@ -140,18 +167,10 @@ def _fp_bwd(res, cts):
 @jax.custom_vjp
 def factor_prep_pallas(U: jax.Array, Z: jax.Array):
     """(G, UᵀZ, ‖Z‖²) in one fused pass. float32, any N/R/L (padded)."""
-    return _factor_prep_pallas(U, Z, _TILE_N)
+    return _factor_prep_pallas(U, Z, tile_n(U.shape[0], U.shape[1], Z.shape[1]))
 
 
 factor_prep_pallas.defvjp(_fp_fwd, _fp_bwd)
-
-
-def _fits_vmem(r: int, l: int, tile_n: int = _TILE_N) -> bool:
-    """Conservative VMEM budget check (floats): double-buffered input tiles
-    plus the resident accumulator blocks must stay well under ~16 MB."""
-    rp, lp = _round_up(r, _LANE), _round_up(l, _LANE)
-    floats = 2 * tile_n * (rp + lp) + rp * rp + rp * lp
-    return floats * 4 <= 10 * 1024 * 1024
 
 
 def _dispatch_factor_prep(U, Z):
@@ -159,8 +178,9 @@ def _dispatch_factor_prep(U, Z):
         return NotImplemented
     if not (_on_tpu() or _interpret()):
         return NotImplemented
-    if not _fits_vmem(U.shape[1], Z.shape[1]):
-        return NotImplemented  # large-R (RFF) configs: XLA handles it
+    tile = tile_n(U.shape[0], U.shape[1], Z.shape[1])
+    if not _fits_vmem(U.shape[1], Z.shape[1], tile):
+        return NotImplemented  # huge-R configs even at tile 128: XLA handles it
     return factor_prep_pallas(U, Z)
 
 
