@@ -43,7 +43,12 @@ from gppvae_tpu.gp.nystrom import (
     nystrom_features,
     pivoted_cholesky_landmarks,
 )
-from gppvae_tpu.gp.taylor import surrogate_batch_term, taylor_expand, TaylorCoefficients
+from gppvae_tpu.gp.taylor import (
+    surrogate_batch_term,
+    surrogate_term_rows,
+    taylor_expand,
+    TaylorCoefficients,
+)
 from gppvae_tpu.gp import dense
 
 __all__ = [
@@ -65,6 +70,7 @@ __all__ = [
     "normalize_rows",
     "polynomial_view_features",
     "surrogate_batch_term",
+    "surrogate_term_rows",
     "taylor_expand",
     "TaylorCoefficients",
     "compress_rank",
