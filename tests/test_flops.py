@@ -67,6 +67,23 @@ def test_gp_solve_flops_match_xla():
     assert abs(xla - analytic) / max(xla, 1) < 0.35, (xla, analytic)
 
 
+def test_fused_epoch_cost_smoke():
+    """fused_epoch_cost compiles the real fused program and returns XLA's
+    cost dict (scan-body-once caveat documented in its docstring)."""
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig
+    from gppvae_tpu.train.train_gppvae import fused_epoch_cost
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8, seed=0)
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=1, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=1,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    ca = fused_epoch_cost(ds, config, n_epochs=1)
+    assert ca.get("flops", 0) > 0
+
+
 def test_fwd_bwd_is_about_3x_fwd(model_and_params):
     """The backward=2×forward convention used by gppvae_epoch_flops, checked
     against XLA's count of an actual value_and_grad program."""
