@@ -120,6 +120,7 @@ class GPPVAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"
+    dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
     resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
@@ -424,6 +425,7 @@ def _setup(dataset, config, vae_params, mesh):
         enc_features=tuple(config.enc_features),
         dec_features=tuple(config.dec_features),
         dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+        upsample=config.dec_upsample,
     )
 
     tr = dataset.train_idx
@@ -770,6 +772,8 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dec_upsample", default="resize",
+                   choices=["resize", "subpixel"])
     p.add_argument("--epochs_per_dispatch", type=int, default=1)
     p.add_argument("--profile_phases", action="store_true")
     p.add_argument("--profile_dir", default=None,
@@ -786,7 +790,7 @@ def main(argv=None):
         obj_feature_dim=args.xdim, view_num_freqs=args.view_freqs,
         object_kernel=args.object_kernel, rff_features=args.rff_features,
         nystrom_rank=args.nystrom_rank,
-        compute_dtype=args.dtype, vae_weights=args.vae_weights,
+        compute_dtype=args.dtype, vae_weights=args.vae_weights, dec_upsample=args.dec_upsample,
         resume=args.resume, data=args.data,
         epochs_per_dispatch=args.epochs_per_dispatch,
         profile_phases=args.profile_phases,

@@ -51,6 +51,7 @@ class VAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
+    dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     epochs_per_dispatch: int = 1  # fused pipeline: epochs per jit dispatch
     outdir: str | None = None
     panel_every: int = 0  # epochs between image panels (0 = off)
@@ -72,6 +73,7 @@ def _build_model(config: VAETrainConfig, image_shape) -> VAE:
         enc_features=tuple(config.enc_features),
         dec_features=tuple(config.dec_features),
         dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+        upsample=config.dec_upsample,
     )
 
 
@@ -260,6 +262,8 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dec_upsample", default="resize",
+                   choices=["resize", "subpixel"])
     p.add_argument("--epochs_per_dispatch", type=int, default=1)
     p.add_argument("--panel_every", type=int, default=10)
     args = p.parse_args(argv)
@@ -269,7 +273,7 @@ def main(argv=None):
     ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
     config = VAETrainConfig(
         zdim=args.zdim, epochs=args.epochs, batch_size=args.bs, lr=args.lr,
-        seed=args.seed, sigma_y=args.sigma_y, compute_dtype=args.dtype,
+        seed=args.seed, sigma_y=args.sigma_y, compute_dtype=args.dtype, dec_upsample=args.dec_upsample,
         epochs_per_dispatch=args.epochs_per_dispatch,
         outdir=args.outdir, panel_every=args.panel_every,
     )

@@ -41,17 +41,25 @@ def encoder_fwd_flops(image_shape, features, zdim: int) -> int:
     return total
 
 
-def decoder_fwd_flops(image_shape, features, zdim: int) -> int:
+def decoder_fwd_flops(image_shape, features, zdim: int,
+                      upsample: str = "resize") -> int:
     """Per-image forward FLOPs of models.ConvDecoder (dense → resize×2 +
-    conv stack → final conv)."""
+    conv stack → final conv). upsample='subpixel' prices the fused rewrite
+    (models._subpixel_upconv): a 2×2 conv at LOW resolution with 4f output
+    channels over an (h+1)×(w+1) padded grid — 32·(h+1)(w+1)·cin·f FLOPs
+    vs the resize path's 72·hw·cin·f (2.25× fewer MACs, same function)."""
     H, W, C = image_shape
     depth = len(features)
     h, w = H // (2 ** depth), W // (2 ** depth)
     cc = features[0]
     total = _dense(zdim, h * w * cc)
     for f in features:
-        h, w = h * 2, w * 2
-        total += _conv(h, w, cc, f)
+        if upsample == "subpixel":
+            total += 2 * (h + 1) * (w + 1) * (4 * cc) * (4 * f)
+            h, w = h * 2, w * 2
+        else:
+            h, w = h * 2, w * 2
+            total += _conv(h, w, cc, f)
         cc = f
     total += _conv(H, W, cc, C)
     return total
@@ -73,6 +81,7 @@ def gppvae_epoch_flops(
     n_heldout: int,
     batch_size: int,
     rank: int,
+    upsample: str = "resize",
 ) -> dict:
     """Per-epoch FLOP breakdown of the fused GPPVAE epoch body
     (train_gppvae.make_fused_fn): Phase A full encode, Phase B exact solve +
@@ -80,7 +89,7 @@ def gppvae_epoch_flops(
     fwd+bwd over ceil(N/bs) batches. The per-dispatch final refresh+eval is
     excluded (amortized over epochs_per_dispatch)."""
     enc = encoder_fwd_flops(image_shape, enc_features, zdim)
-    dec = decoder_fwd_flops(image_shape, dec_features, zdim)
+    dec = decoder_fwd_flops(image_shape, dec_features, zdim, upsample)
     nb = -(-n_train // batch_size)
     phase_a = n_train * enc
     phase_b = 3 * gp_solve_flops(n_train, rank, zdim)  # fwd + taylor bwd
@@ -98,11 +107,11 @@ def gppvae_epoch_flops(
 
 def vae_epoch_flops(
     *, image_shape, enc_features, dec_features, zdim: int,
-    n_train: int, n_val: int, batch_size: int,
+    n_train: int, n_val: int, batch_size: int, upsample: str = "resize",
 ) -> dict:
     """Per-epoch FLOPs of the fused VAE pretrain epoch (train_vae)."""
     enc = encoder_fwd_flops(image_shape, enc_features, zdim)
-    dec = decoder_fwd_flops(image_shape, dec_features, zdim)
+    dec = decoder_fwd_flops(image_shape, dec_features, zdim, upsample)
     nb = -(-n_train // batch_size)
     phase_c = 3 * nb * batch_size * (enc + dec)
     val = n_val * (enc + dec)
