@@ -29,10 +29,12 @@ class CVAE(nn.Module):
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     dtype: jnp.dtype = jnp.float32
+    upsample: str = "resize"
 
     def setup(self):
         self.encoder = ConvEncoder(self.zdim, self.enc_features, self.dtype)
-        self.decoder = ConvDecoder(self.image_shape, self.dec_features, self.dtype)
+        self.decoder = ConvDecoder(self.image_shape, self.dec_features,
+                                   self.dtype, self.upsample)
 
     def _cond_planes(self, y: jax.Array, q: jax.Array) -> jax.Array:
         onehot = jax.nn.one_hot(q, self.num_views, dtype=y.dtype)

@@ -44,6 +44,7 @@ class CVAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"
+    dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     epochs_per_dispatch: int = 1
     outdir: str | None = None
 
@@ -71,6 +72,7 @@ def train_cvae(
         enc_features=tuple(config.enc_features),
         dec_features=tuple(config.dec_features),
         dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+        upsample=config.dec_upsample,
     )
     rng = jax.random.PRNGKey(config.seed)
     rng, init_key, sample_key = jax.random.split(rng, 3)

@@ -25,7 +25,11 @@ def main():
     p.add_argument("--pretrain", type=int, default=60)
     p.add_argument("--num_objects", type=int, default=180)
     p.add_argument("--outdir", default=None)
+    p.add_argument("--fast", action="store_true",
+                   help="bfloat16 compute + subpixel decoder on every model")
     args = p.parse_args()
+    fast = (dict(compute_dtype="bfloat16", dec_upsample="subpixel")
+            if args.fast else {})
 
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import (
@@ -53,6 +57,7 @@ def main():
 
     vae = train_vae(ds, VAETrainConfig(
         zdim=16, epochs=args.pretrain, batch_size=128, lr=1e-3, seed=0,
+        **fast,
     ), log=NullLogger())
     print(json.dumps({
         "model": "vae_pretrain",
@@ -117,7 +122,7 @@ def main():
             mode=mode, zdim=16, epochs=args.epochs, batch_size=128,
             lr_vae=5e-4, lr_gp=3e-3, seed=0,
             obj_feature_dim=8, view_num_freqs=3,
-            epochs_per_dispatch=10,
+            epochs_per_dispatch=10, **fast,
             outdir=args.outdir and f"{args.outdir}/{mode}",
             panel_every=args.epochs - 1 if args.outdir else 0,
         )
