@@ -201,6 +201,54 @@ def main():
         "heldout_mse": round(oos_mse, 5),
     }
 
+    # ---- config 5b: SERVING throughput — the deployment path: the GP
+    # posterior is folded into an R-sized core ONCE (eval/serving.py), each
+    # request is O(R) GP work + one decoder forward. Request indices are
+    # perturbed per rep (different grid cells) to defeat relay memoization.
+    from gppvae_tpu.eval import build_server_state, predict_images
+
+    state = build_server_state(
+        model, jres.params, jres.fixed_W, a["images_tr"], a["d_tr"], a["q_tr"]
+    )
+    jax.block_until_ready(state)
+    served = jax.jit(lambda s, d, q: predict_images(model, s, d, q))
+    P, Q = ds.num_objects, ds.num_views
+    d_req, q_req = a["d_ho"], a["q_ho"]
+    _ = jax.device_get(served(state, d_req, q_req))  # compile
+    reps = []
+    for i in range(3):
+        dd = (d_req + i + 1) % P
+        qq = (q_req + i + 1) % Q
+        t0 = time.perf_counter()
+        y = jax.device_get(served(state, dd, qq))  # full readback
+        reps.append(time.perf_counter() - t0)
+
+    # sustained capacity: K request batches inside ONE dispatch (single
+    # per-image checksum readback) — the relay's ~30 ms dispatch latency
+    # otherwise swamps a ~1 ms decode batch (CLAUDE.md microbench lesson)
+    K = 50
+
+    @jax.jit
+    def sustained(state, d0, q0):
+        def step(_, i):
+            y = predict_images(model, state, (d0 + i) % P, (q0 + i) % Q)
+            return None, jnp.sum(y, axis=(1, 2, 3))
+
+        _, sums = jax.lax.scan(step, None, jnp.arange(K, dtype=jnp.int32))
+        return sums
+
+    _ = jax.device_get(sustained(state, d_req, q_req))  # compile
+    sreps = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = jax.device_get(sustained(state, (d_req + 7 * i) % P, q_req))
+        sreps.append(time.perf_counter() - t0)
+    configs["oos_serving"] = {
+        "latency_s_per_batch": round(min(reps), 4),
+        "batch": n_ho,
+        "sustained_images_per_sec": round(K * n_ho / min(sreps)),
+    }
+
     baseline = None
     try:
         with open("BASELINE.json") as f:

@@ -6,5 +6,21 @@ train_gppvae.py (SURVEY.md §2.1, §3.4).
 
 from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.eval.oos import oos_predict_images, predict_heldout
+from gppvae_tpu.eval.serving import (
+    ServerState,
+    build_server_state,
+    load_server_state,
+    predict_images,
+    save_server_state,
+)
 
-__all__ = ["save_panel", "oos_predict_images", "predict_heldout"]
+__all__ = [
+    "save_panel",
+    "oos_predict_images",
+    "predict_heldout",
+    "ServerState",
+    "build_server_state",
+    "load_server_state",
+    "predict_images",
+    "save_server_state",
+]

@@ -208,6 +208,9 @@ def main(argv=None):
                    help="synthesize ALL views of this object id")
     p.add_argument("--sample", type=int, default=0,
                    help="decode N draws from the learned GP prior")
+    p.add_argument("--export_server", default=None, metavar="PATH",
+                   help="fold the GP posterior into an R-sized server state "
+                        "(eval/serving.py) and save the deployment artifact")
     p.add_argument("--outdir", default=None)
     args = p.parse_args(argv)
 
@@ -247,6 +250,31 @@ def main(argv=None):
     state = load_pytree(args.state)
     outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
 
+    if args.export_server:
+        from gppvae_tpu.eval.serving import build_server_state, save_server_state
+
+        params = state["params"]
+        x_map = gp.make_x_map(
+            arch["object_kernel"], params["gp"]["X"].shape[1],
+            arch["rff_features"], arch["rff_lengthscale"], arch["seed"],
+            state.get("nystrom_idx"),
+        )
+        model = VAE(zdim=arch["zdim"], image_shape=tuple(ds.image_shape),
+                    enc_features=tuple(arch["enc_features"]),
+                    dec_features=tuple(arch["dec_features"]))
+        tr = ds.train_idx
+        srv = build_server_state(
+            model, params, state.get("fixed_W"),
+            jnp.asarray(ds.images[tr]), jnp.asarray(ds.object_ids[tr]),
+            jnp.asarray(ds.view_ids[tr]), x_map=x_map,
+            extra_effects=tuple(arch["extra_effects"]),
+        )
+        save_server_state(args.export_server, srv)
+        print(json.dumps({
+            "server_state": os.path.abspath(args.export_server),
+            "rank": int(srv.core.M.shape[0]), "zdim": int(srv.core.M.shape[1]),
+        }))
+        return
     if args.object is not None:
         y_views = synthesize_views(state, ds, args.object, **arch)
         truth = ds.images[args.object * ds.num_views:(args.object + 1) * ds.num_views]

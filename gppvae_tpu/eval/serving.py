@@ -1,0 +1,124 @@
+"""Serving path for conditional generation: precompute once, decode per
+request.
+
+The reference's OOS protocol (SURVEY.md §3.4; eval/oos.predict_heldout)
+re-encodes ALL N training rows and re-factorizes the GP for every
+evaluation — right for training-time monitoring, wasteful for serving. A
+deployed model answers many (object, view) requests against ONE trained
+state, so everything N-sized can be folded into an R-sized posterior core
+up front (gp.posterior_core):
+
+    build_server_state: one full encode (Phase-A machinery) + one Woodbury
+        factorization + one K⁻¹Z solve  →  ServerState{core (R×L / R×R),
+        X, W, variances, vae params}. O(N·R²) once; the state itself is
+        O(R² + P·M + Q·M_w) — independent of N.
+    predict_images: per request, build the feature rows for the asked
+        (object, view) pairs (O(R) each), z* = U*·M, decode. The only
+        O(pixels) work left is the decoder forward — the serving
+        throughput ceiling is the decoder, not the GP or the dataset size.
+
+Also returns the GP-predictive per-row latent variance on request
+(return_var=True) — the serving-side uncertainty signal the training
+monitor never needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gppvae_tpu import gp
+from gppvae_tpu.models import VAE, encode_all
+
+
+class ServerState(NamedTuple):
+    """Pytree snapshot a server holds per trained model (N-independent)."""
+
+    core: gp.PosteriorCore  # (R,L) mean core + (R,R) variance factors
+    X: jax.Array  # (P, M) object features
+    W: jax.Array  # (Q, M_w) view features (learned or fixed)
+    v_sig: jax.Array  # (n_eff,) signal variances
+    vae_params: Any  # decoder (and encoder) params
+
+
+def build_server_state(
+    model,
+    params,
+    fixed_W,
+    images_tr: jax.Array,
+    d_tr: jax.Array,
+    q_tr: jax.Array,
+    *,
+    x_map=None,
+    extra_effects: tuple = (),
+    encode_chunk: int = 1024,
+) -> ServerState:
+    """Fold the training set into the R-sized posterior core (jittable).
+
+    Runs the grad-free full encode (the trainer's Phase A), factorizes
+    K = Σ_r v_r V_r V_rᵀ + v_n I, and solves the K⁻¹Z core once. Inputs
+    mirror eval/oos.predict_heldout so trainer checkpoints serve directly.
+    """
+    W = params["gp"].get("W", fixed_W)
+    X = params["gp"]["X"]
+    Z0 = encode_all(model, params["vae"], images_tr,
+                    min(encode_chunk, images_tr.shape[0]))
+    V_tr = gp.build_effect_rows(X, W, d_tr, q_tr,
+                                extra_effects=extra_effects, x_map=x_map)
+    v_sig, v_noise = gp.variances_from_log(
+        params["gp"]["log_vs"], params["gp"]["log_vn"]
+    )
+    v_sigs = [jnp.reshape(v_sig, (-1,))[i] for i in range(len(V_tr))]
+    factors = gp.factorize(V_tr, v_sigs, v_noise)
+    return ServerState(
+        core=gp.posterior_core(factors, Z0),
+        X=X, W=W, v_sig=jnp.reshape(v_sig, (-1,)),
+        vae_params=params["vae"],
+    )
+
+
+def predict_images(
+    model,
+    state: ServerState,
+    d: jax.Array,
+    q: jax.Array,
+    *,
+    x_map=None,
+    extra_effects: tuple = (),
+    return_var: bool = False,
+):
+    """Serve one request batch: images for (object, view) index vectors.
+
+    O(R) GP work per row + one decoder forward; jit this with `model`,
+    `x_map`, `extra_effects` closed over and `state` as a pytree argument.
+    With return_var=True also returns the (n,) GP-predictive latent
+    variance per requested row.
+    """
+    V_star = gp.build_effect_rows(state.X, state.W, d, q,
+                                  extra_effects=extra_effects, x_map=x_map)
+    v_sigs = [state.v_sig[i] for i in range(len(V_star))]
+    out = gp.predict_from_core(V_star, state.core, v_sigs,
+                               return_var=return_var)
+    z_star, var = out if return_var else (out, None)
+    y = jax.nn.sigmoid(model.apply(state.vae_params, z_star, method=VAE.decode))
+    return (y, var) if return_var else y
+
+
+def save_server_state(path: str, state: ServerState) -> None:
+    """Persist the folded state so a server boots without the training set
+    (the deployment artifact: O(R²) + params, not O(N·pixels))."""
+    from gppvae_tpu.checkpoint import save_pytree
+
+    d = state._asdict()
+    d["core"] = state.core._asdict()
+    save_pytree(path, d)
+
+
+def load_server_state(path: str) -> ServerState:
+    from gppvae_tpu.checkpoint import load_pytree
+
+    d = dict(load_pytree(path))
+    core = gp.PosteriorCore(**{k: jnp.asarray(v) for k, v in d.pop("core").items()})
+    return ServerState(core=core, **d)

@@ -24,6 +24,9 @@ from gppvae_tpu.gp.woodbury import (
     gp_nll,
     gp_nll_from_features,
     kinv_z_core,
+    posterior_core,
+    PosteriorCore,
+    predict_from_core,
     predict_latents,
     scaled_features,
     variances_from_log,
@@ -60,6 +63,9 @@ __all__ = [
     "gp_nll",
     "gp_nll_from_features",
     "kinv_z_core",
+    "posterior_core",
+    "PosteriorCore",
+    "predict_from_core",
     "predict_latents",
     "build_effect_rows",
     "build_V",

@@ -158,6 +158,59 @@ def gp_nll_from_features(
     return nll
 
 
+class PosteriorCore(NamedTuple):
+    """N-independent core of the trained GP posterior (the serving state).
+
+    Everything needed to predict mean/variance for NEW (object, view) rows
+    after the N training rows are folded in — all R-sized, so a server can
+    hold it per model and answer requests without touching Z (N×L) or U
+    (N×R) again:
+
+      M:       (R, L) = B⁻¹ Uᵀ Z / v_n — predictive mean is U* M.
+      G:       (R, R) Gram Uᵀ U (variance term).
+      Lb:      (R, R) lower Cholesky of B = I + G/v_n.
+      v_noise: () noise variance.
+    """
+
+    M: jax.Array
+    G: jax.Array
+    Lb: jax.Array
+    v_noise: jax.Array
+
+
+def posterior_core(factors: GPFactors, Z: jax.Array) -> PosteriorCore:
+    """Fold the training latents into the R-sized predictive core."""
+    return PosteriorCore(
+        M=kinv_z_core(factors, Z), G=factors.G, Lb=factors.Lb,
+        v_noise=factors.v_noise,
+    )
+
+
+def predict_from_core(
+    V_star: Sequence[jax.Array] | jax.Array,
+    core: PosteriorCore,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+    *,
+    return_var: bool = False,
+):
+    """Predictive mean (and variance) for new rows from the R-sized core.
+
+    Mean: z* = U* M; variance (per row, shared across the L iid dims):
+    var* = u*ᵀu* + v_n − u*ᵀ G B⁻¹ u* / v_n (see predict_latents)."""
+    if isinstance(V_star, jax.Array) or not isinstance(V_star, (list, tuple)):
+        V_star = [V_star]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U_star = _scaled_features(V_star, [jnp.asarray(v) for v in v_sigs])
+    mean = U_star @ core.M
+    if not return_var:
+        return mean
+    Y = jax.scipy.linalg.cho_solve((core.Lb, True), U_star.T)  # B⁻¹ U*ᵀ
+    quad = jnp.sum(U_star.T * (core.G @ Y), axis=0) / core.v_noise
+    var = jnp.sum(jnp.square(U_star), axis=1) + core.v_noise - quad
+    return mean, var
+
+
 def predict_latents(
     V_star: Sequence[jax.Array] | jax.Array,
     factors: GPFactors,
@@ -179,17 +232,10 @@ def predict_latents(
              = u*ᵀu* + v_n − u*ᵀ G B⁻¹ u* / v_n
 
     using K⁻¹U = U B⁻¹ / v_n ⇒ UᵀK⁻¹U = G B⁻¹ / v_n — everything R-sized.
+
+    One-shot path over posterior_core()+predict_from_core(); a serving loop
+    should build the core once and reuse it per request (eval/serving.py).
     """
-    if isinstance(V_star, jax.Array) or not isinstance(V_star, (list, tuple)):
-        V_star = [V_star]
-    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
-        v_sigs = [v_sigs]
-    U_star = _scaled_features(V_star, [jnp.asarray(v) for v in v_sigs])
-    M = kinv_z_core(factors, Z)  # (R, L)
-    mean = U_star @ M
-    if not return_var:
-        return mean
-    Y = jax.scipy.linalg.cho_solve((factors.Lb, True), U_star.T)  # B⁻¹ U*ᵀ
-    quad = jnp.sum(U_star.T * (factors.G @ Y), axis=0) / factors.v_noise
-    var = jnp.sum(jnp.square(U_star), axis=1) + factors.v_noise - quad
-    return mean, var
+    return predict_from_core(
+        V_star, posterior_core(factors, Z), v_sigs, return_var=return_var
+    )

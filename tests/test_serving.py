@@ -1,0 +1,150 @@
+"""Serving-path tests (eval/serving.py).
+
+The server state folds the N training rows into an R-sized posterior core
+once; per-request prediction must EXACTLY match the training-time OOS
+pipeline (eval/oos.predict_heldout computes the same math one-shot), and
+the returned predictive variance must behave like a GP posterior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gppvae_tpu import gp
+from gppvae_tpu.data import build_rotated_digits
+from gppvae_tpu.eval import build_server_state, predict_images, predict_heldout
+from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+from gppvae_tpu.utils.metrics import NullLogger
+
+
+@pytest.fixture(scope="module")
+def trained():
+    ds = build_rotated_digits("synthetic", num_objects=10, num_views=8,
+                              image_size=32, seed=0)
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=2, batch_size=32,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8))
+    res = train_gppvae(ds, cfg, log=NullLogger())
+    return ds, res
+
+
+def _arrays(ds):
+    tr, ho = ds.train_idx, ds.heldout_idx
+    return (
+        jnp.asarray(ds.images[tr]), jnp.asarray(ds.object_ids[tr]),
+        jnp.asarray(ds.view_ids[tr]), jnp.asarray(ds.object_ids[ho]),
+        jnp.asarray(ds.view_ids[ho]), jnp.asarray(ds.images[ho]),
+    )
+
+
+def test_serving_matches_oos_pipeline(trained):
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    from gppvae_tpu.models import encode_all
+
+    Z0 = encode_all(res.model, res.params["vae"], images_tr, 1024)
+    y_ref, mse_ref = predict_heldout(
+        res.model, res.params, res.fixed_W, Z0, d_tr, q_tr, d_ho, q_ho, y_ho
+    )
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    y_srv = predict_images(res.model, state, d_ho, q_ho)
+    np.testing.assert_allclose(np.asarray(y_srv), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_serving_state_is_n_independent(trained):
+    """The state carries no N-sized arrays — that's the point of it."""
+    ds, res = trained
+    images_tr, d_tr, q_tr, *_ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    n = images_tr.shape[0]
+    for leaf in jax.tree_util.tree_leaves((state.core, state.X, state.W,
+                                           state.v_sig)):
+        assert n not in leaf.shape, f"N-sized leaf in server state: {leaf.shape}"
+
+
+def test_serving_variance_positive_and_orders(trained):
+    """var > 0 everywhere; a grid cell whose object has training views is
+    less uncertain than a completely unseen object row."""
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    y, var = predict_images(res.model, state, d_ho, q_ho, return_var=True)
+    var = np.asarray(var)
+    assert var.shape == (len(d_ho),)
+    assert (var > 0).all()
+    assert np.isfinite(np.asarray(y)).all()
+
+    # upper bound: prior variance k(*,*) + v_n (posterior never exceeds it)
+    W = res.params["gp"].get("W", res.fixed_W)
+    V_star = gp.build_effect_rows(state.X, W, d_ho, q_ho)
+    v_sigs = [state.v_sig[i] for i in range(len(V_star))]
+    U_star = gp.scaled_features(V_star, v_sigs)
+    prior = np.asarray(jnp.sum(U_star**2, axis=1) + state.core.v_noise)
+    assert (var <= prior + 1e-6).all()
+
+
+def test_server_state_roundtrip(tmp_path, trained):
+    """save/load of the deployment artifact: predictions identical."""
+    from gppvae_tpu.eval import load_server_state, save_server_state
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    save_server_state(str(tmp_path / "srv"), state)
+    state2 = load_server_state(str(tmp_path / "srv"))
+    y1 = predict_images(res.model, state, d_ho, q_ho)
+    y2 = predict_images(res.model, state2, d_ho, q_ho)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_export_server_cli(tmp_path):
+    """generate --export_server folds a run's checkpoint into the serving
+    artifact; the loaded state predicts the run's heldout cells."""
+    from gppvae_tpu.eval import load_server_state, predict_images
+    from gppvae_tpu.eval.generate import main as gen_main
+    from gppvae_tpu.models import VAE
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                              image_size=32, seed=3)
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=2, batch_size=16,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8),
+                            outdir=str(tmp_path), data="synthetic", seed=3)
+    train_gppvae(ds, cfg, log=NullLogger())
+    srv_path = str(tmp_path / "server_state")
+    gen_main(["--state", str(tmp_path / "final_state"),
+              "--num_objects", "8", "--num_views", "8",
+              "--export_server", srv_path])
+    state = load_server_state(srv_path)
+    model = VAE(zdim=8, image_shape=tuple(ds.image_shape),
+                enc_features=(8, 16), dec_features=(16, 8))
+    y = predict_images(model, state,
+                       jnp.asarray(ds.object_ids[ds.heldout_idx]),
+                       jnp.asarray(ds.view_ids[ds.heldout_idx]))
+    assert y.shape == (len(ds.heldout_idx), *ds.image_shape)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_serving_jit_stable_shapes(trained):
+    """One compiled program serves arbitrary request batches of one size."""
+    ds, res = trained
+    images_tr, d_tr, q_tr, *_ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    served = jax.jit(lambda s, d, q: predict_images(res.model, s, d, q))
+    d = jnp.array([0, 1, 2, 3], jnp.int32)
+    q = jnp.array([0, 1, 2, 3], jnp.int32)
+    y1 = served(state, d, q)
+    y2 = served(state, d + 1, q)  # same shapes → cached program
+    assert y1.shape == y2.shape == (4, *ds.image_shape)
