@@ -118,6 +118,32 @@ def test_gppvae_mesh_pallas_matches_xla(monkeypatch):
         )
 
 
+def test_gppvae_mesh_subpixel_matches_mesh_resize():
+    """The subpixel decoder composes with the mesh: one DP-sharded epoch in
+    subpixel mode equals the same mesh epoch with the literal resize
+    decoder (the rewrite is exact, so only fp32 reassociation separates
+    them; same mesh ⇒ same row-trimming ⇒ identical data)."""
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+
+    ds = build_rotated_digits("synthetic", num_objects=16, num_views=8, seed=0)
+    mesh = make_mesh(8)
+    kw = dict(
+        mode="joint", zdim=8, epochs=1, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    ref = train_gppvae(ds, GPPVAETrainConfig(**kw), mesh=mesh)
+    sub = train_gppvae(
+        ds, GPPVAETrainConfig(**kw, dec_upsample="subpixel"), mesh=mesh
+    )
+    for key in ("loss", "recon_term", "gp_term", "gp_nll_full", "oos_mse"):
+        np.testing.assert_allclose(
+            sub.history[0][key], ref.history[0][key], rtol=5e-4, atol=1e-6,
+            err_msg=f"mesh subpixel-vs-resize mismatch on {key!r}",
+        )
+
+
 def test_gppvae_mesh_chunked_encode_matches_full():
     """Phase-A chunking composes with the mesh (round-2, VERDICT weak #7):
     encode_chunk < N/ndev must not change the math."""
