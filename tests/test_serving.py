@@ -91,6 +91,36 @@ def test_serving_variance_positive_and_orders(trained):
     assert (var <= prior + 1e-6).all()
 
 
+def test_serving_with_rbf_x_map():
+    """Nonlinear object kernels flow through serving: state built with the
+    RFF x_map matches the OOS pipeline with the same map."""
+    from gppvae_tpu.models import encode_all
+    from gppvae_tpu.train.train_gppvae import build_x_map
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                              image_size=32, seed=1)
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=2, batch_size=16,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            object_kernel="rbf", rff_features=8,
+                            enc_features=(8, 16), dec_features=(16, 8), seed=1)
+    res = train_gppvae(ds, cfg, log=NullLogger())
+    x_map = build_x_map(cfg)
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    Z0 = encode_all(res.model, res.params["vae"], images_tr, 1024)
+    y_ref, _ = predict_heldout(
+        res.model, res.params, res.fixed_W, Z0, d_tr, q_tr, d_ho, q_ho,
+        y_ho, x_map=x_map,
+    )
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr,
+        x_map=x_map,
+    )
+    assert state.core.M.shape[0] == 8 * 3  # rff_features × M_w
+    y_srv = predict_images(res.model, state, d_ho, q_ho, x_map=x_map)
+    np.testing.assert_allclose(np.asarray(y_srv), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_server_state_roundtrip(tmp_path, trained):
     """save/load of the deployment artifact: predictions identical."""
     from gppvae_tpu.eval import load_server_state, save_server_state
