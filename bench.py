@@ -250,10 +250,15 @@ def main():
         return sums
 
     _ = jax.device_get(sustained(state, d_req, q_req))  # compile
+    # request vectors materialized OUTSIDE the timed window (a changing
+    # Python int inside it would add eager dispatches to the measurement —
+    # CLAUDE.md relay lesson)
+    req = [jax.device_put((d_req + 7 * i) % P) for i in range(3)]
+    jax.block_until_ready(req)
     sreps = []
-    for i in range(3):
+    for dd in req:
         t0 = time.perf_counter()
-        _ = jax.device_get(sustained(state, (d_req + 7 * i) % P, q_req))
+        _ = jax.device_get(sustained(state, dd, q_req))
         sreps.append(time.perf_counter() - t0)
     configs["oos_serving"] = {
         "latency_s_per_batch": round(min(reps), 4),

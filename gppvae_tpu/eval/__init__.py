@@ -12,6 +12,7 @@ from gppvae_tpu.eval.serving import (
     load_server_state,
     predict_images,
     save_server_state,
+    x_map_from_meta,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "load_server_state",
     "predict_images",
     "save_server_state",
+    "x_map_from_meta",
 ]

@@ -48,6 +48,27 @@ def _check_grid_matches(params, fixed_W, dataset: GridDataset) -> None:
         )
 
 
+def _model_and_xmap(state, dataset, *, zdim, enc_features, dec_features,
+                    object_kernel, rff_features, rff_lengthscale, seed,
+                    **_ignored):
+    """Shared checkpoint→(model, x_map) construction for every CLI path,
+    WITH the grid-mismatch guard (gathers clamp out-of-range ids, so a
+    wrong dataset would otherwise produce silent garbage)."""
+    params = state["params"]
+    _check_grid_matches(params, state.get("fixed_W"), dataset)
+    x_map = gp.make_x_map(
+        object_kernel, params["gp"]["X"].shape[1], rff_features,
+        rff_lengthscale, seed, state.get("nystrom_idx"),
+    )
+    model = VAE(
+        zdim=zdim,
+        image_shape=tuple(dataset.image_shape),
+        enc_features=tuple(enc_features),
+        dec_features=tuple(dec_features),
+    )
+    return model, x_map
+
+
 def generate_heldout(
     state: dict,
     dataset: GridDataset,
@@ -64,16 +85,10 @@ def generate_heldout(
     """Returns (predicted heldout images, pixel MSE vs ground truth)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
-    _check_grid_matches(params, fixed_W, dataset)
-    x_map = gp.make_x_map(
-        object_kernel, params["gp"]["X"].shape[1], rff_features,
-        rff_lengthscale, seed, state.get("nystrom_idx"),
-    )
-    model = VAE(
-        zdim=zdim,
-        image_shape=tuple(dataset.image_shape),
-        enc_features=tuple(enc_features),
-        dec_features=tuple(dec_features),
+    model, x_map = _model_and_xmap(
+        state, dataset, zdim=zdim, enc_features=enc_features,
+        dec_features=dec_features, object_kernel=object_kernel,
+        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
     )
     tr, ho = dataset.train_idx, dataset.heldout_idx
     images_tr = jnp.asarray(dataset.images[tr])
@@ -114,17 +129,15 @@ def synthesize_views(
     TRAINING rows only (its held-out views are genuinely extrapolated)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
-    _check_grid_matches(params, fixed_W, dataset)
     if not 0 <= object_id < dataset.num_objects:
         raise ValueError(
             f"object {object_id} out of range [0, {dataset.num_objects})"
         )
-    x_map = gp.make_x_map(
-        object_kernel, params["gp"]["X"].shape[1], rff_features,
-        rff_lengthscale, seed, state.get("nystrom_idx"),
+    model, x_map = _model_and_xmap(
+        state, dataset, zdim=zdim, enc_features=enc_features,
+        dec_features=dec_features, object_kernel=object_kernel,
+        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
     )
-    model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
-                enc_features=tuple(enc_features), dec_features=tuple(dec_features))
     tr = dataset.train_idx
     Q = dataset.num_views
     images_tr = jnp.asarray(dataset.images[tr])
@@ -164,13 +177,11 @@ def sample_prior(
     z = U ε_r + √v_n ε_n for randomly chosen (object, view) cells, decode."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
-    _check_grid_matches(params, fixed_W, dataset)
-    x_map = gp.make_x_map(
-        object_kernel, params["gp"]["X"].shape[1], rff_features,
-        rff_lengthscale, seed, state.get("nystrom_idx"),
+    model, x_map = _model_and_xmap(
+        state, dataset, zdim=zdim, enc_features=enc_features,
+        dec_features=dec_features, object_kernel=object_kernel,
+        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
     )
-    model = VAE(zdim=zdim, image_shape=tuple(dataset.image_shape),
-                enc_features=tuple(enc_features), dec_features=tuple(dec_features))
     key = jax.random.PRNGKey(seed)
     kd, kq, kr, kn = jax.random.split(key, 4)
     d = jax.random.randint(kd, (num_samples,), 0, dataset.num_objects)
@@ -254,14 +265,10 @@ def main(argv=None):
         from gppvae_tpu.eval.serving import build_server_state, save_server_state
 
         params = state["params"]
-        x_map = gp.make_x_map(
-            arch["object_kernel"], params["gp"]["X"].shape[1],
-            arch["rff_features"], arch["rff_lengthscale"], arch["seed"],
-            state.get("nystrom_idx"),
-        )
-        model = VAE(zdim=arch["zdim"], image_shape=tuple(ds.image_shape),
-                    enc_features=tuple(arch["enc_features"]),
-                    dec_features=tuple(arch["dec_features"]))
+        # _model_and_xmap applies the same grid-mismatch guard as every
+        # other CLI path: a mismatch would fold a silently-wrong posterior
+        # into the deployment artifact (gathers clamp out-of-range ids)
+        model, x_map = _model_and_xmap(state, ds, **arch)
         tr = ds.train_idx
         srv = build_server_state(
             model, params, state.get("fixed_W"),
@@ -269,7 +276,12 @@ def main(argv=None):
             jnp.asarray(ds.view_ids[tr]), x_map=x_map,
             extra_effects=tuple(arch["extra_effects"]),
         )
-        save_server_state(args.export_server, srv)
+        # record HOW to rebuild the feature map + model at serve time
+        save_server_state(
+            args.export_server, srv,
+            meta={**arch, "image_shape": tuple(ds.image_shape)},
+            nystrom_idx=state.get("nystrom_idx"),
+        )
         print(json.dumps({
             "server_state": os.path.abspath(args.export_server),
             "rank": int(srv.core.M.shape[0]), "zdim": int(srv.core.M.shape[1]),

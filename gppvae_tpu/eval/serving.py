@@ -106,19 +106,61 @@ def predict_images(
     return (y, var) if return_var else y
 
 
-def save_server_state(path: str, state: ServerState) -> None:
+def save_server_state(
+    path: str, state: ServerState, meta: dict | None = None,
+    nystrom_idx=None,
+) -> None:
     """Persist the folded state so a server boots without the training set
-    (the deployment artifact: O(R²) + params, not O(N·pixels))."""
+    (the deployment artifact: O(R²) + params, not O(N·pixels)).
+
+    `meta` records how the feature rows must be rebuilt at serve time —
+    object_kernel kind, rff_features/lengthscale/seed, extra_effects,
+    model architecture — written as a JSON sidecar `<path>.meta.json`.
+    Without it a server could silently rebuild the WRONG feature map (a
+    linear map of coincidentally matching rank returns garbage, not an
+    error). `nystrom_idx` (landmark indices, rbf-nystrom kernel) rides in
+    the array tree itself.
+    """
+    import json
+    import os
+
     from gppvae_tpu.checkpoint import save_pytree
 
     d = state._asdict()
     d["core"] = state.core._asdict()
+    if nystrom_idx is not None:
+        d["nystrom_idx"] = jnp.asarray(nystrom_idx)
     save_pytree(path, d)
+    with open(os.path.abspath(os.path.expanduser(path)) + ".meta.json", "w") as f:
+        json.dump(meta or {}, f, indent=1, default=list)
 
 
-def load_server_state(path: str) -> ServerState:
+def load_server_state(path: str) -> tuple[ServerState, dict]:
+    """Returns (state, meta). meta carries the kernel/architecture config
+    recorded at export; rebuild the feature map with `x_map_from_meta`."""
+    import json
+    import os
+
     from gppvae_tpu.checkpoint import load_pytree
 
     d = dict(load_pytree(path))
     core = gp.PosteriorCore(**{k: jnp.asarray(v) for k, v in d.pop("core").items()})
-    return ServerState(core=core, **d)
+    nystrom_idx = d.pop("nystrom_idx", None)
+    meta = {}
+    meta_path = os.path.abspath(os.path.expanduser(path)) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if nystrom_idx is not None:
+        meta["nystrom_idx"] = nystrom_idx
+    return ServerState(core=core, **d), meta
+
+
+def x_map_from_meta(meta: dict, in_dim: int):
+    """Rebuild the object-kernel feature map an artifact was exported with
+    (gp.make_x_map over the recorded meta; None for the linear kernel)."""
+    return gp.make_x_map(
+        meta.get("object_kernel", "linear"), in_dim,
+        meta.get("rff_features", 32), meta.get("rff_lengthscale", 1.0),
+        meta.get("seed", 0), meta.get("nystrom_idx"),
+    )

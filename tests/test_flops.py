@@ -52,6 +52,22 @@ def test_decoder_flops_match_xla(model_and_params):
     assert abs(xla - analytic) / xla < 0.25, (xla, analytic)
 
 
+def test_subpixel_decoder_flops_match_xla():
+    """The subpixel branch of decoder_fwd_flops backs the HEADLINE MFU
+    (bench.py prices the fast-mode program with it) — pin it to XLA's count
+    of the actual subpixel program, like the resize branch above."""
+    model = VAE(zdim=ZDIM, image_shape=IMAGE, enc_features=ENC,
+                dec_features=DEC, upsample="subpixel")
+    y = jnp.zeros((64, *IMAGE), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), y, jax.random.PRNGKey(1))
+    z = jnp.zeros((64, ZDIM), jnp.float32)
+    xla = _xla_flops(lambda p, z: model.apply(p, z, method=VAE.decode), params, z)
+    analytic = z.shape[0] * decoder_fwd_flops(IMAGE, DEC, ZDIM, "subpixel")
+    assert abs(xla - analytic) / xla < 0.25, (xla, analytic)
+    # and the formula must actually price FEWER MACs than the resize path
+    assert analytic < z.shape[0] * decoder_fwd_flops(IMAGE, DEC, ZDIM)
+
+
 def test_gp_solve_flops_match_xla():
     from gppvae_tpu import gp
 

@@ -69,8 +69,10 @@ def test_serving_state_is_n_independent(trained):
 
 
 def test_serving_variance_positive_and_orders(trained):
-    """var > 0 everywhere; a grid cell whose object has training views is
-    less uncertain than a completely unseen object row."""
+    """var > 0 everywhere; the posterior genuinely tightens on the prior
+    (mean ratio well below 1 — a sign/scale bug in predict_from_core's quad
+    term would leave var == prior); cells the GP actually saw (training
+    grid cells) are on average less uncertain than held-out cells."""
     ds, res = trained
     images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
     state = build_server_state(
@@ -89,6 +91,13 @@ def test_serving_variance_positive_and_orders(trained):
     U_star = gp.scaled_features(V_star, v_sigs)
     prior = np.asarray(jnp.sum(U_star**2, axis=1) + state.core.v_noise)
     assert (var <= prior + 1e-6).all()
+    # genuine tightening, not var == prior (observed ratio ≈ 0.39 here)
+    assert float(np.mean(var / prior)) < 0.8
+
+    # seen grid cells are less uncertain than held-out cells (on average;
+    # per-row ordering is not implied by the math)
+    _, var_tr = predict_images(res.model, state, d_tr, q_tr, return_var=True)
+    assert float(np.mean(np.asarray(var_tr))) < float(np.mean(var))
 
 
 def test_serving_with_rbf_x_map():
@@ -130,8 +139,10 @@ def test_server_state_roundtrip(tmp_path, trained):
     state = build_server_state(
         res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
     )
-    save_server_state(str(tmp_path / "srv"), state)
-    state2 = load_server_state(str(tmp_path / "srv"))
+    save_server_state(str(tmp_path / "srv"), state,
+                      meta={"object_kernel": "linear"})
+    state2, meta = load_server_state(str(tmp_path / "srv"))
+    assert meta["object_kernel"] == "linear"
     y1 = predict_images(res.model, state, d_ho, q_ho)
     y2 = predict_images(res.model, state2, d_ho, q_ho)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
@@ -155,14 +166,42 @@ def test_export_server_cli(tmp_path):
     gen_main(["--state", str(tmp_path / "final_state"),
               "--num_objects", "8", "--num_views", "8",
               "--export_server", srv_path])
-    state = load_server_state(srv_path)
-    model = VAE(zdim=8, image_shape=tuple(ds.image_shape),
-                enc_features=(8, 16), dec_features=(16, 8))
+    state, meta = load_server_state(srv_path)
+    # the artifact records how to rebuild the model + feature map
+    assert meta["object_kernel"] == "linear" and meta["zdim"] == 8
+    from gppvae_tpu.eval import x_map_from_meta
+
+    x_map = x_map_from_meta(meta, state.X.shape[1])
+    assert x_map is None  # linear kernel
+    model = VAE(zdim=meta["zdim"], image_shape=tuple(meta["image_shape"]),
+                enc_features=tuple(meta["enc_features"]),
+                dec_features=tuple(meta["dec_features"]))
     y = predict_images(model, state,
                        jnp.asarray(ds.object_ids[ds.heldout_idx]),
-                       jnp.asarray(ds.view_ids[ds.heldout_idx]))
+                       jnp.asarray(ds.view_ids[ds.heldout_idx]),
+                       x_map=x_map,
+                       extra_effects=tuple(meta["extra_effects"]))
     assert y.shape == (len(ds.heldout_idx), *ds.image_shape)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_export_server_rejects_grid_mismatch(tmp_path):
+    """--export_server must refuse a dataset whose grid doesn't match the
+    checkpoint (gathers clamp out-of-range ids — without the guard the
+    folded artifact would be silently wrong)."""
+    from gppvae_tpu.eval.generate import main as gen_main
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                              image_size=32, seed=3)
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=1, batch_size=16,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8),
+                            outdir=str(tmp_path), data="synthetic", seed=3)
+    train_gppvae(ds, cfg, log=NullLogger())
+    with pytest.raises(ValueError, match="does not match the checkpoint"):
+        gen_main(["--state", str(tmp_path / "final_state"),
+                  "--num_objects", "16", "--num_views", "8",
+                  "--export_server", str(tmp_path / "srv")])
 
 
 def test_serving_jit_stable_shapes(trained):

@@ -187,24 +187,36 @@ def main():
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--upsample", default="resize", choices=["resize", "subpixel"])
     p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--epd", type=int, default=10)
+    p.add_argument("--epd", type=int, default=None,
+                   help="epochs per dispatch (capture default: 10; with "
+                        "--trace it must be given explicitly or per-epoch "
+                        "numbers are omitted — the tool cannot know how an "
+                        "external trace was captured)")
     p.add_argument("--slice_frac", type=float, default=None,
                    help="fraction of the dispatch window to slice for the "
                         "Perfetto artifact (default 1/epd = one epoch)")
     args = p.parse_args()
 
+    external = args.trace is not None
+    if not external and args.epd is None:
+        args.epd = 10
     trace_path = args.trace or capture(args)
     summary = summarize_trace(trace_path)
     windows = summary.pop("_windows")
-    summary["epochs_per_dispatch"] = args.epd
-    summary["device_time_per_epoch_ms"] = round(
-        1e3 * summary["device_time_per_dispatch_s"] / args.epd, 2
-    )
-    summary["config"] = {"dtype": args.dtype, "upsample": args.upsample}
+    if args.epd is not None:
+        summary["epochs_per_dispatch"] = args.epd
+        summary["device_time_per_epoch_ms"] = round(
+            1e3 * summary["device_time_per_dispatch_s"] / args.epd, 2
+        )
+    if external:
+        # config flags describe a capture run, not someone else's trace
+        summary["config"] = {"source": os.path.abspath(args.trace)}
+    else:
+        summary["config"] = {"dtype": args.dtype, "upsample": args.upsample}
     os.makedirs(args.out, exist_ok=True)
     # slice a mid-run dispatch (first is the least warm); keep the artifact
     # small by default — one epoch's worth of the window
-    frac = args.slice_frac or (1.0 / args.epd)
+    frac = args.slice_frac or (1.0 / args.epd if args.epd else 1.0)
     ts, dur = windows[len(windows) // 2]
     slice_dispatch(trace_path, (ts, dur * frac),
                    os.path.join(args.out, "dispatch_slice.trace.json.gz"))

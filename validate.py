@@ -107,7 +107,7 @@ def main():
     # CVAE baseline (the paper's non-GP comparison model)
     cvae = train_cvae(ds, CVAETrainConfig(
         zdim=16, epochs=args.pretrain + args.epochs, batch_size=128, lr=1e-3,
-        seed=0, epochs_per_dispatch=10,
+        seed=0, epochs_per_dispatch=10, **fast,
     ), log=NullLogger())
     print(json.dumps({
         "model": "cvae",
