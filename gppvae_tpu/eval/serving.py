@@ -54,17 +54,21 @@ def build_server_state(
     x_map=None,
     extra_effects: tuple = (),
     encode_chunk: int = 1024,
+    batch_sharding=None,
 ) -> ServerState:
     """Fold the training set into the R-sized posterior core (jittable).
 
     Runs the grad-free full encode (the trainer's Phase A), factorizes
     K = Σ_r v_r V_r V_rᵀ + v_n I, and solves the K⁻¹Z core once. Inputs
     mirror eval/oos.predict_heldout so trainer checkpoints serve directly.
+    batch_sharding (parallel.row_sharding(mesh)): shard the fold's encode
+    chunks over a mesh — the resulting core is tiny and replicated.
     """
     W = params["gp"].get("W", fixed_W)
     X = params["gp"]["X"]
     Z0 = encode_all(model, params["vae"], images_tr,
-                    min(encode_chunk, images_tr.shape[0]))
+                    min(encode_chunk, images_tr.shape[0]),
+                    batch_sharding=batch_sharding)
     V_tr = gp.build_effect_rows(X, W, d_tr, q_tr,
                                 extra_effects=extra_effects, x_map=x_map)
     v_sig, v_noise = gp.variances_from_log(
@@ -88,13 +92,16 @@ def predict_images(
     x_map=None,
     extra_effects: tuple = (),
     return_var: bool = False,
+    batch_sharding=None,
 ):
     """Serve one request batch: images for (object, view) index vectors.
 
     O(R) GP work per row + one decoder forward; jit this with `model`,
     `x_map`, `extra_effects` closed over and `state` as a pytree argument.
     With return_var=True also returns the (n,) GP-predictive latent
-    variance per requested row.
+    variance per requested row. batch_sharding (parallel.row_sharding):
+    DP-serve a large request batch over a mesh — the state is replicated
+    (R-sized), the request rows and decode shard.
     """
     V_star = gp.build_effect_rows(state.X, state.W, d, q,
                                   extra_effects=extra_effects, x_map=x_map)
@@ -102,6 +109,8 @@ def predict_images(
     out = gp.predict_from_core(V_star, state.core, v_sigs,
                                return_var=return_var)
     z_star, var = out if return_var else (out, None)
+    if batch_sharding is not None:
+        z_star = jax.lax.with_sharding_constraint(z_star, batch_sharding)
     y = jax.nn.sigmoid(model.apply(state.vae_params, z_star, method=VAE.decode))
     return (y, var) if return_var else y
 

@@ -166,6 +166,45 @@ def test_gppvae_mesh_chunked_encode_matches_full():
         )
 
 
+def test_serving_on_mesh_matches_single_device():
+    """DP serving: replicated R-sized state + row-sharded request batch
+    reproduces single-device predictions (pure data parallelism — only
+    fp32 reduction order separates them)."""
+    import dataclasses
+
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.eval import build_server_state, predict_images
+    from gppvae_tpu.parallel import trim_to_multiple
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+    from gppvae_tpu.utils.metrics import NullLogger
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                              image_size=32, seed=0)
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=1, batch_size=16,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8))
+    res = train_gppvae(ds, cfg, log=NullLogger())
+    mesh = make_mesh(8)
+    sh = row_sharding(mesh)
+    tr = ds.train_idx[: trim_to_multiple(len(ds.train_idx), 8)]
+    images_tr = jnp.asarray(ds.images[tr])
+    d_tr, q_tr = jnp.asarray(ds.object_ids[tr]), jnp.asarray(ds.view_ids[tr])
+    ref_state = build_server_state(res.model, res.params, res.fixed_W,
+                                   images_tr, d_tr, q_tr)
+    mesh_state = build_server_state(
+        res.model, res.params, res.fixed_W,
+        shard_rows(mesh, images_tr), d_tr, q_tr, batch_sharding=sh,
+    )
+    ho = ds.heldout_idx[: trim_to_multiple(len(ds.heldout_idx), 8)]
+    d_ho, q_ho = jnp.asarray(ds.object_ids[ho]), jnp.asarray(ds.view_ids[ho])
+    y_ref = predict_images(res.model, ref_state, d_ho, q_ho)
+    y_mesh = jax.jit(
+        lambda s, d, q: predict_images(res.model, s, d, q, batch_sharding=sh)
+    )(mesh_state, d_ho, q_ho)
+    np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_gppvae_trains_on_mesh():
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae

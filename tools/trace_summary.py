@@ -163,8 +163,9 @@ def capture(args) -> str:
     from gppvae_tpu.utils.metrics import NullLogger
 
     ds = build_rotated_digits(
-        "synthetic", num_objects=400, num_views=16, image_size=32, seed=0,
-        cache_dir="/tmp/gppvae_bench_cache",
+        "synthetic", num_objects=args.num_objects, num_views=16,
+        image_size=32, seed=0,
+        cache_dir="/tmp/gppvae_bench_cache" if args.num_objects == 400 else None,
     )
     tmp = tempfile.mkdtemp(prefix="gppvae_trace_")
     cfg = GPPVAETrainConfig(
@@ -187,6 +188,8 @@ def main():
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--upsample", default="resize", choices=["resize", "subpixel"])
     p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--num_objects", type=int, default=400,
+                   help="grid objects for the capture run (N scaling probes)")
     p.add_argument("--epd", type=int, default=None,
                    help="epochs per dispatch (capture default: 10; with "
                         "--trace it must be given explicitly or per-epoch "
