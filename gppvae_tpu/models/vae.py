@@ -50,11 +50,19 @@ def encode_all(
     batch_sharding: under SPMD, the NamedSharding each scanned chunk keeps
     its rows in (chunk must divide by the data-axis size) — chunking and
     N-row sharding compose, so Phase A stays bounded-memory on a mesh.
+
+    Accepts FLAT (N, H·W·C) image storage too (ndim == 2 — the trainer's
+    large-N layout, GPPVAETrainConfig.flat_images_threshold): each chunk is
+    reshaped back to the model's image_shape right before the conv.
     """
     method = method or VAE.encode
     n = images.shape[0]
+
+    def unflat(y):
+        return y.reshape(y.shape[0], *model.image_shape) if y.ndim == 2 else y
+
     if chunk >= n:
-        mu, _ = model.apply(params, images, *extra, method=method)
+        mu, _ = model.apply(params, unflat(images), *extra, method=method)
         return mu
 
     def padchunk(a):
@@ -66,7 +74,7 @@ def encode_all(
         y = rows[0]
         if batch_sharding is not None:
             y = jax.lax.with_sharding_constraint(y, batch_sharding)
-        mu, _lv = model.apply(params, y, *rows[1:], method=method)
+        mu, _lv = model.apply(params, unflat(y), *rows[1:], method=method)
         return None, mu
 
     _, Z = jax.lax.scan(enc, None, tuple(padchunk(a) for a in (images, *extra)))

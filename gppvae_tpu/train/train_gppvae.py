@@ -126,6 +126,12 @@ class GPPVAETrainConfig:
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     epochs_per_dispatch: int = 1  # fused pipeline super-step size
     scan_unroll: int = 1  # minibatch-scan unroll factor (TPU loop overhead)
+    # above this N, train images are stored FLAT (N, H·W·C) and reshaped
+    # after each gather: XLA's layout assignment flips large NHWC arrays to
+    # an N-minor layout inside the epoch scan, which makes every batch
+    # gather stride across the whole array (measured: per-step cost doubles
+    # at N=22800; flat storage removes the growth — BASELINE.md N-scaling)
+    flat_images_threshold: int = 8192
     profile_phases: bool = False  # phase-per-dispatch path with timings
     profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5)
     encode_chunk: int = 1024  # Phase-A scan chunk (activation footprint cap)
@@ -285,6 +291,8 @@ class _Loop:
                     else config.sigma_y
                 )
                 y = images_tr[pos]
+                if y.ndim == 2:  # flat large-N storage → NHWC batch
+                    y = y.reshape(bs, *model.image_shape)
                 if batch_sharding is not None:
                     # DP: split the gathered batch rows across the mesh
                     y = jax.lax.with_sharding_constraint(y, batch_sharding)
@@ -432,8 +440,13 @@ def _setup(dataset, config, vae_params, mesh):
     if mesh is not None:
         # row-sharded arrays need equal data-axis shards; drop trailing rows
         tr = tr[: trim_to_multiple(len(tr), mesh.shape[mesh.axis_names[0]])]
+    images_tr = jnp.asarray(dataset.images[tr])
+    if len(tr) > config.flat_images_threshold:
+        # flat (N, H·W·C) storage: keeps gathers contiguous at large N (see
+        # flat_images_threshold); rows are reshaped back per gather/chunk
+        images_tr = images_tr.reshape(len(tr), -1)
     arrays = dict(
-        images_tr=jnp.asarray(dataset.images[tr]),
+        images_tr=images_tr,
         d_tr=jnp.asarray(dataset.object_ids[tr]),
         q_tr=jnp.asarray(dataset.view_ids[tr]),
         y_ho=jnp.asarray(dataset.images[dataset.heldout_idx]),
@@ -447,7 +460,10 @@ def _setup(dataset, config, vae_params, mesh):
             mesh, arrays["images_tr"], arrays["d_tr"], arrays["q_tr"]
         )
 
-    fresh = model.init(init_key, arrays["images_tr"][:1], sample_key)
+    fresh = model.init(
+        init_key, arrays["images_tr"][:1].reshape(1, *dataset.image_shape),
+        sample_key,
+    )
     if vae_params is None and config.vae_weights:
         vae_params = load_vae_weights(config.vae_weights, abstract_params=fresh)
     if vae_params is None:
@@ -678,6 +694,8 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
     last = epoch >= config.epochs - 1
     if config.panel_every and (crossed(config.panel_every) or last):
         y = images_tr[:8]
+        if y.ndim == 2:  # flat large-N storage
+            y = y.reshape(-1, *model.image_shape)
         logits, *_ = model.apply(params["vae"], y, key)
         save_panel(
             os.path.join(config.outdir, f"panel_{epoch:04d}.png"),

@@ -52,6 +52,11 @@ class VAETrainConfig:
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
     dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
+    # above this dataset size, images are stored FLAT (N, H·W·C) and
+    # reshaped per gather — see GPPVAETrainConfig.flat_images_threshold
+    # (XLA lays large NHWC arrays N-minor inside the scan, making every
+    # batch gather stride the whole array)
+    flat_images_threshold: int = 8192
     epochs_per_dispatch: int = 1  # fused pipeline: epochs per jit dispatch
     outdir: str | None = None
     panel_every: int = 0  # epochs between image panels (0 = off)
@@ -99,6 +104,8 @@ def make_epochs_fn(
 
             def loss_fn(p):
                 y = images[batch_idx]
+                if y.ndim == 2:  # flat large-N storage → NHWC batch
+                    y = y.reshape(bs, *model.image_shape)
                 if batch_sharding is not None:
                     # DP: shard the gathered batch rows across the mesh
                     y = jax.lax.with_sharding_constraint(y, batch_sharding)
@@ -127,6 +134,8 @@ def make_epochs_fn(
             row = jnp.mean(metrics, axis=0)
             if val_idx is not None:
                 yv = images[val_idx]
+                if yv.ndim == 2:
+                    yv = yv.reshape(yv.shape[0], *model.image_shape)
                 logits, mu, logvar, _ = model.apply(
                     params, yv, jax.random.fold_in(epoch_key, 2)
                 )
@@ -164,6 +173,8 @@ def train_vae(
     rng, init_key, sample_key = jax.random.split(rng, 3)
 
     images = jnp.asarray(dataset.images)  # HBM-resident for the whole run
+    if images.shape[0] > config.flat_images_threshold:
+        images = images.reshape(images.shape[0], -1)  # contiguous gathers
     train_idx = jnp.asarray(dataset.train_idx)
     val_idx = jnp.asarray(dataset.val_idx) if len(dataset.val_idx) else None
     if mesh is not None:
@@ -171,10 +182,14 @@ def train_vae(
         n_dev = mesh.devices.size
         pad = (-images.shape[0]) % n_dev
         if pad:
-            images = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            images = jnp.pad(
+                images, ((0, pad),) + ((0, 0),) * (images.ndim - 1)
+            )
         images = shard_rows(mesh, images)
 
-    params = model.init(init_key, images[:1], sample_key)
+    params = model.init(
+        init_key, images[:1].reshape(1, *dataset.image_shape), sample_key
+    )
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
     optimizer = optax.adam(config.lr)
@@ -237,6 +252,8 @@ def _epoch_artifacts(model, params, images, dataset, config, epoch, key):
     if config.panel_every and (epoch % config.panel_every == 0 or last):
         idx = np.asarray(dataset.val_idx[:8] if len(dataset.val_idx) else dataset.train_idx[:8])
         y = images[idx]
+        if y.ndim == 2:
+            y = y.reshape(-1, *model.image_shape)
         logits, *_ = model.apply(params, y, key)
         save_panel(
             os.path.join(config.outdir, f"panel_{epoch:04d}.png"),

@@ -169,3 +169,26 @@ def test_extra_random_effects_train(small_ds, pretrained_vae, tmp_path):
         "--data", "synthetic", "--num_objects", "16", "--num_views", "8",
         "--outdir", str(tmp_path),
     ])
+
+
+def test_flat_image_storage_matches_nhwc(small_ds, pretrained_vae):
+    """flat_images_threshold=0 forces the large-N flat (N, H·W·C) storage;
+    gather+reshape must reproduce the NHWC trajectory exactly (the gathered
+    batch VALUES are identical — only the HBM layout changes)."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=2, batch_size=16, lr_vae=5e-4,
+        lr_gp=5e-3, seed=0, obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8), panel_every=0,
+    )
+    ref = train_gppvae(small_ds, GPPVAETrainConfig(**kw),
+                       vae_params=pretrained_vae.vae_params)
+    flat = train_gppvae(
+        small_ds, GPPVAETrainConfig(**kw, flat_images_threshold=0),
+        vae_params=pretrained_vae.vae_params,
+    )
+    for key in ("loss", "recon_term", "gp_term", "gp_nll_full", "oos_mse"):
+        np.testing.assert_allclose(
+            [h[key] for h in flat.history], [h[key] for h in ref.history],
+            rtol=1e-6, atol=1e-8,
+            err_msg=f"flat-vs-NHWC trajectory mismatch on {key!r}",
+        )

@@ -51,3 +51,21 @@ def test_vae_weights_roundtrip(tmp_path):
     y = jnp.asarray(ds.images[:2])
     logits, *_ = result.model.apply(restored, y, jax.random.PRNGKey(0))
     assert logits.shape == y.shape
+
+
+def test_vae_flat_image_storage_matches_nhwc(tmp_path):
+    """flat_images_threshold=0 forces the large-N flat storage; the
+    trajectory must match NHWC exactly (same gathered values)."""
+    from gppvae_tpu.data import build_rotated_digits
+
+    ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
+    kw = dict(zdim=8, epochs=3, batch_size=16, lr=1e-3, seed=0,
+              enc_features=(8, 16), dec_features=(16, 8))
+    ref = train_vae(ds, VAETrainConfig(**kw))
+    flat = train_vae(ds, VAETrainConfig(**kw, flat_images_threshold=0))
+    for key in ("loss", "recon_term", "kl_term", "mse", "val_mse"):
+        np.testing.assert_allclose(
+            [h[key] for h in flat.history], [h[key] for h in ref.history],
+            rtol=1e-6, atol=1e-8,
+            err_msg=f"flat-vs-NHWC VAE trajectory mismatch on {key!r}",
+        )
