@@ -126,12 +126,13 @@ class GPPVAETrainConfig:
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
     epochs_per_dispatch: int = 1  # fused pipeline super-step size
     scan_unroll: int = 1  # minibatch-scan unroll factor (TPU loop overhead)
-    # above this N, train images are stored FLAT (N, H·W·C) and reshaped
-    # after each gather: XLA's layout assignment flips large NHWC arrays to
-    # an N-minor layout inside the epoch scan, which makes every batch
-    # gather stride across the whole array (measured: per-step cost doubles
-    # at N=22800; flat storage removes the growth — BASELINE.md N-scaling)
-    flat_images_threshold: int = 8192
+    # train images are stored FLAT (N, H·W·C) above this N and reshaped
+    # per gather (default 0 = always): XLA's layout assignment flips large
+    # NHWC arrays to an N-minor layout inside the epoch scan, making every
+    # batch gather stride the whole array (2× per-step cost at N=22800;
+    # flat is value-exact and neutral-or-faster at every measured scale, so it is the default —
+    # BASELINE.md N-scaling). Set huge to force the NHWC layout back.
+    flat_images_threshold: int = 0
     profile_phases: bool = False  # phase-per-dispatch path with timings
     profile_dir: str | None = None  # jax.profiler trace output (SURVEY.md §5)
     encode_chunk: int = 1024  # Phase-A scan chunk (activation footprint cap)

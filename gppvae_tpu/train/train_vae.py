@@ -52,11 +52,10 @@ class VAETrainConfig:
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
     dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
-    # above this dataset size, images are stored FLAT (N, H·W·C) and
-    # reshaped per gather — see GPPVAETrainConfig.flat_images_threshold
-    # (XLA lays large NHWC arrays N-minor inside the scan, making every
-    # batch gather stride the whole array)
-    flat_images_threshold: int = 8192
+    # images stored FLAT (N, H·W·C) above this size, reshaped per gather
+    # (default 0 = always; value-exact) — see
+    # GPPVAETrainConfig.flat_images_threshold for the layout story
+    flat_images_threshold: int = 0
     epochs_per_dispatch: int = 1  # fused pipeline: epochs per jit dispatch
     outdir: str | None = None
     panel_every: int = 0  # epochs between image panels (0 = off)
