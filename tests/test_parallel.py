@@ -170,8 +170,6 @@ def test_serving_on_mesh_matches_single_device():
     """DP serving: replicated R-sized state + row-sharded request batch
     reproduces single-device predictions (pure data parallelism — only
     fp32 reduction order separates them)."""
-    import dataclasses
-
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.eval import build_server_state, predict_images
     from gppvae_tpu.parallel import trim_to_multiple
@@ -191,9 +189,12 @@ def test_serving_on_mesh_matches_single_device():
     d_tr, q_tr = jnp.asarray(ds.object_ids[tr]), jnp.asarray(ds.view_ids[tr])
     ref_state = build_server_state(res.model, res.params, res.fixed_W,
                                    images_tr, d_tr, q_tr)
+    # encode_chunk < n so the CHUNKED sharded fold actually runs (the
+    # chunk>=n path ignores batch_sharding)
     mesh_state = build_server_state(
         res.model, res.params, res.fixed_W,
         shard_rows(mesh, images_tr), d_tr, q_tr, batch_sharding=sh,
+        encode_chunk=8,
     )
     ho = ds.heldout_idx[: trim_to_multiple(len(ds.heldout_idx), 8)]
     d_ho, q_ho = jnp.asarray(ds.object_ids[ho]), jnp.asarray(ds.view_ids[ho])

@@ -180,8 +180,12 @@ def test_flat_image_storage_matches_nhwc(small_ds, pretrained_vae):
         lr_gp=5e-3, seed=0, obj_feature_dim=4, view_num_freqs=2,
         enc_features=(8, 16), dec_features=(16, 8), panel_every=0,
     )
-    ref = train_gppvae(small_ds, GPPVAETrainConfig(**kw),
-                       vae_params=pretrained_vae.vae_params)
+    # default is flat (threshold 0); the ref run forces the NHWC layout
+    # back so the equivalence is actually exercised
+    ref = train_gppvae(
+        small_ds, GPPVAETrainConfig(**kw, flat_images_threshold=10**9),
+        vae_params=pretrained_vae.vae_params,
+    )
     flat = train_gppvae(
         small_ds, GPPVAETrainConfig(**kw, flat_images_threshold=0),
         vae_params=pretrained_vae.vae_params,

@@ -61,7 +61,8 @@ def test_vae_flat_image_storage_matches_nhwc(tmp_path):
     ds = build_rotated_digits("synthetic", num_objects=12, num_views=8, seed=0)
     kw = dict(zdim=8, epochs=3, batch_size=16, lr=1e-3, seed=0,
               enc_features=(8, 16), dec_features=(16, 8))
-    ref = train_vae(ds, VAETrainConfig(**kw))
+    # default is flat; force NHWC on the ref side so the test is not vacuous
+    ref = train_vae(ds, VAETrainConfig(**kw, flat_images_threshold=10**9))
     flat = train_vae(ds, VAETrainConfig(**kw, flat_images_threshold=0))
     for key in ("loss", "recon_term", "kl_term", "mse", "val_mse"):
         np.testing.assert_allclose(

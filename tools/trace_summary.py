@@ -165,7 +165,7 @@ def capture(args) -> str:
     ds = build_rotated_digits(
         "synthetic", num_objects=args.num_objects, num_views=16,
         image_size=32, seed=0,
-        cache_dir="/tmp/gppvae_bench_cache" if args.num_objects == 400 else None,
+        cache_dir="/tmp/gppvae_bench_cache",  # tag already keys num_objects
     )
     tmp = tempfile.mkdtemp(prefix="gppvae_trace_")
     cfg = GPPVAETrainConfig(
