@@ -97,14 +97,15 @@ def summarize_trace(trace_path: str) -> dict:
 
     cat_us: dict[str, float] = {}
     op_us: dict[str, float] = {}
-    occ = []
+    occ, occ_incl = [], []
     for w in wins:
         s, e = w["ts"], w["ts"] + w["dur"]
         inner = [
             o for o in ops if o["ts"] >= s and o["ts"] + o["dur"] <= e
         ]
-        iv = []
+        iv, iv_all = [], []
         for o in inner:
+            iv_all.append((o["ts"], o["ts"] + o["dur"]))
             c = _categorize(o["name"])
             if c == "while_wrapper":
                 continue  # wrapper spans its body; would double-count
@@ -113,14 +114,22 @@ def summarize_trace(trace_path: str) -> dict:
             iv.append((o["ts"], o["ts"] + o["dur"]))
         if w["dur"] > 0:
             occ.append(_union_len(iv) / w["dur"])
+            occ_incl.append(_union_len(iv_all) / w["dur"])
     tot = sum(cat_us.values()) or 1.0
     top_ops = sorted(op_us.items(), key=lambda kv: -kv[1])[:12]
     return {
         "module": mod_name,
         "n_dispatches": len(wins),
         "device_time_per_dispatch_s": round(mean_dispatch / 1e6, 4),
+        # two occupancy readings: the non-while union UNDERCOUNTS whenever
+        # the profiler's event budget truncates inner ops of long scans
+        # (while wrappers still span everything) — if the two disagree, the
+        # wrapper-inclusive number is the honest one (BASELINE.md lesson)
         "device_occupancy_in_dispatch_pct": round(
             100 * sum(occ) / max(len(occ), 1), 1
+        ),
+        "device_busy_incl_while_pct": round(
+            100 * sum(occ_incl) / max(len(occ_incl), 1), 1
         ),
         "op_breakdown_pct": {
             k: round(100 * v / tot, 1)
