@@ -44,6 +44,7 @@ def predict_heldout(
     *,
     x_map=None,
     extra_effects: tuple = (),
+    row_weights=None,
 ):
     """The full OOS pipeline shared by the trainers and the eval CLI:
     build train/held-out feature rows from the current GP params, factorize,
@@ -53,6 +54,10 @@ def predict_heldout(
     the dis-mode view feature matrix (ignored when params carry a learned W).
     extra_effects: additional random effects beyond the object×view product
     ('object' / 'view'), matching the trainer's config.
+    row_weights: optional (N,) 0/1 mask zeroing padded training rows (the
+    mesh trainers pad N to the data-axis size); a zeroed feature row
+    contributes nothing to the Woodbury factors or K⁻¹Z, so the prediction
+    equals the unpadded one exactly.
     """
     from gppvae_tpu.models import VAE
 
@@ -60,6 +65,8 @@ def predict_heldout(
     X = params["gp"]["X"]
     V_tr = gp.build_effect_rows(X, W, d_tr, q_tr,
                                 extra_effects=extra_effects, x_map=x_map)
+    if row_weights is not None:
+        V_tr = [v * row_weights[:, None] for v in V_tr]
     V_ho = gp.build_effect_rows(X, W, d_ho, q_ho,
                                 extra_effects=extra_effects, x_map=x_map)
     v_sig, v_noise = gp.variances_from_log(

@@ -105,6 +105,16 @@ def predict_images(
     """
     V_star = gp.build_effect_rows(state.X, state.W, d, q,
                                   extra_effects=extra_effects, x_map=x_map)
+    if len(V_star) != state.v_sig.shape[0]:
+        # effect rows pair with v_sig entries purely by position — serving
+        # with a different extra_effects tuple than at build time would
+        # silently apply the wrong variances whenever ranks line up
+        # (ADVICE.md round-2); the exported meta records the right tuple
+        raise ValueError(
+            f"extra_effects={extra_effects!r} builds {len(V_star)} effect(s) "
+            f"but the server state carries {state.v_sig.shape[0]} variance(s); "
+            "pass the extra_effects recorded in the artifact's meta"
+        )
     v_sigs = [state.v_sig[i] for i in range(len(V_star))]
     out = gp.predict_from_core(V_star, state.core, v_sigs,
                                return_var=return_var)
@@ -144,9 +154,18 @@ def save_server_state(
         json.dump(meta or {}, f, indent=1, default=list)
 
 
-def load_server_state(path: str) -> tuple[ServerState, dict]:
+def load_server_state(
+    path: str, *, allow_missing_meta: bool = False
+) -> tuple[ServerState, dict]:
     """Returns (state, meta). meta carries the kernel/architecture config
-    recorded at export; rebuild the feature map with `x_map_from_meta`."""
+    recorded at export; rebuild the feature map with `x_map_from_meta`.
+
+    Fails loudly when the `.meta.json` sidecar is missing (ADVICE.md
+    round-2): without it an RBF-exported artifact would silently be served
+    with a default linear feature map — garbage predictions whenever the
+    ranks coincide, not an error. allow_missing_meta=True opts back in for
+    artifacts known to use every default.
+    """
     import json
     import os
 
@@ -160,6 +179,14 @@ def load_server_state(path: str) -> tuple[ServerState, dict]:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    elif not allow_missing_meta:
+        raise FileNotFoundError(
+            f"server-state sidecar {meta_path} not found: it records the "
+            "feature-map config (object_kernel, rff seed/rank, extra_effects) "
+            "needed to serve this artifact correctly. Restore it next to the "
+            "checkpoint, or pass allow_missing_meta=True to serve with "
+            "all-default settings at your own risk."
+        )
     if nystrom_idx is not None:
         meta["nystrom_idx"] = nystrom_idx
     return ServerState(core=core, **d), meta

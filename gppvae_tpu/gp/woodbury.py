@@ -135,6 +135,7 @@ def gp_nll_from_features(
     v_noise: jax.Array,
     *,
     include_const: bool = True,
+    num_rows: int | None = None,
 ) -> jax.Array:
     """One-shot NLL as a differentiable function of (Z, Vs, variances).
 
@@ -144,13 +145,20 @@ def gp_nll_from_features(
 
     Uses the fused `ops.factor_prep` (Gram + projection + ‖Z‖² in one HBM
     pass on the pallas backend) rather than factorize()+gp_nll().
+
+    num_rows: the TRUE dataset size when Z/Vs carry trailing all-zero
+    padding rows (the mesh trainers pad N to a multiple of the data-axis
+    size; zero rows contribute nothing to Gram/projection/‖Z‖², so only the
+    scalar N·log v_n and N·L·log 2π counts need the real N). Defaults to
+    Z.shape[0] (no padding).
     """
     if isinstance(Vs, jax.Array) or not isinstance(Vs, (list, tuple)):
         Vs = [Vs]
     if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
         v_sigs = [v_sigs]
     U = _scaled_features(Vs, [jnp.asarray(v) for v in v_sigs])
-    N, L = Z.shape
+    _, L = Z.shape
+    N = num_rows if num_rows is not None else Z.shape[0]
     G, UtZ, znorm2 = ops.factor_prep(U, Z)
     nll = ops.woodbury_nll_core(G, UtZ, znorm2, jnp.asarray(v_noise), N, L)
     if not include_const:

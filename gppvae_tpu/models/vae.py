@@ -17,6 +17,7 @@ decoder mirrors it with resize+conv upsampling. Design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -115,16 +116,28 @@ _PHASE_TAPS = (
 
 
 def _subpixel_upconv(conv: nn.Conv, x: jax.Array) -> jax.Array:
-    """nearest-resize×2 followed by `conv` (3×3 SAME), computed as ONE 2×2
-    conv at LOW resolution with 4× output channels + depth-to-space.
+    """nearest-resize×2 followed by `conv` (3×3 SAME), computed without
+    materializing the upsampled tensor — an exact algebraic rewrite (same
+    parameters, same math up to fp reassociation): the upsample duplicates
+    pixels, so the 3×3 conv's taps that land on the same low-res pixel can
+    be pre-summed. The decoder's resize+conv blocks are ~90% of GPPVAE
+    epoch FLOPs (utils/flops.py), making this the main MXU-efficiency lever
+    at research shapes (BASELINE.md roofline).
 
-    Exact algebraic rewrite (same parameters, same math up to fp
-    reassociation): the upsample duplicates pixels, so the 3×3 conv's taps
-    that land on the same low-res pixel can be pre-summed into a 2×2 kernel
-    per output phase. 2.25× fewer MACs than conv-on-upsampled and the MXU
-    sees C_out = 4f lanes instead of f — the decoder's resize+conv blocks
-    are ~90% of GPPVAE epoch FLOPs (utils/flops.py), making this the main
-    MXU-efficiency lever at research shapes (BASELINE.md roofline).
+    Three equivalent lowerings, selectable via GPPVAE_SUBPIXEL_IMPL
+    (round-3 A/B on the v5e, headline joint config, s/epoch):
+
+      'dilated' (DEFAULT, 0.0154): one 4×4 conv with lhs_dilation=2 — the
+          composed transposed conv. XLA's native backprop-conv machinery
+          splits the phases internally and writes the interleaved output
+          directly; no depth-to-space pass exists at the HLO level.
+      'stack' (0.0213): 2×2 conv with 4f output channels + slice/stack
+          depth-to-space — the round-2 formulation; the stack/reshape
+          materializes the phase tensor twice per stage fwd+bwd (HLO
+          copy.1149/.1154 ≈ the 10% "copy" share in demo/trace_r2_fast).
+      'padsum' (0.0243): interleave as a sum of interior-padded phases —
+          fuses to one kernel but strided sublane writes lose to the
+          copies they replace (negative result, kept for re-measurement).
     """
     # materialize the shared 3×3 params; dummy output is unused → XLA DCE
     _ = conv(x[:, :1, :1, :])
@@ -132,6 +145,23 @@ def _subpixel_upconv(conv: nn.Conv, x: jax.Array) -> jax.Array:
     bias = conv.variables["params"]["bias"]  # (f,)
     x, w3, bias = nn.dtypes.promote_dtype(x, w3, bias, dtype=conv.dtype)
     f = w3.shape[-1]
+    impl = os.environ.get("GPPVAE_SUBPIXEL_IMPL", "dilated")
+    if impl == "dilated":
+        # transposed-conv formulation: compose nearest-up (2-tap kernel of
+        # ones, stride-2 input dilation) with the 3×3 conv into ONE 4×4
+        # input-dilated conv — XLA's native backprop-conv path, no
+        # depth-to-space interleave at all. Per-axis tap map T[k,p] =
+        # [p - t = k - 1 for t∈{0,1}] (same merge algebra as _PHASE_TAPS).
+        T = jnp.asarray(
+            [[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], w3.dtype
+        )  # (4, 3)
+        K4 = jnp.einsum("up,vq,pqio->uvio", T, T, w3)  # (4, 4, cin, f)
+        y = jax.lax.conv_general_dilated(
+            x, K4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (b, 2h, 2w, f)
+        return y + bias
     M = jnp.asarray(_PHASE_TAPS, dtype=w3.dtype)  # (2, 2, 3)
     # phase order (dr, dc) row-major in the output-channel axis
     K = jnp.concatenate(
@@ -146,7 +176,22 @@ def _subpixel_upconv(conv: nn.Conv, x: jax.Array) -> jax.Array:
         x, K, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (b, h+1, w+1, 4f): window i covers low-res taps {i-1, i}
-    b_, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+    hh, ww = x.shape[1], x.shape[2]
+    impl = os.environ.get("GPPVAE_SUBPIXEL_IMPL", "stack")
+    if impl == "padsum":
+        # see docstring: measured slower than both alternatives
+        zero = jnp.zeros((), o.dtype)
+        y = None
+        for dr in (0, 1):
+            for dc in (0, 1):
+                p = o[:, dr : dr + hh, dc : dc + ww,
+                      (2 * dr + dc) * f : (2 * dr + dc + 1) * f]
+                t = jax.lax.pad(
+                    p, zero,
+                    [(0, 0, 0), (dr, 1 - dr, 1), (dc, 1 - dc, 1), (0, 0, 0)],
+                )  # (b, 2h, 2w, f), nonzero only at rows≡dr, cols≡dc mod 2
+                y = t if y is None else y + t
+        return y + bias
     # phase (dr, dc) lives at window offset (dr, dc): phase 1's taps
     # {i, i+1} are window i+1 of the padded conv
     phases = [
@@ -160,7 +205,7 @@ def _subpixel_upconv(conv: nn.Conv, x: jax.Array) -> jax.Array:
     t = jnp.stack(
         [jnp.stack(row, axis=3) for row in phases], axis=2
     )  # (b, h, 2, w, 2, f): [b, i, dr, j, dc, c]
-    y = t.reshape(b_, 2 * hh, 2 * ww, f)
+    y = t.reshape(x.shape[0], 2 * hh, 2 * ww, f)
     return y + bias
 
 

@@ -61,11 +61,11 @@ def tile_n(n: int = 0, r: int = 0, l: int = 0) -> int:
     sweep", 2026-08-16): at N≈6k throughput is flat across 256–2048 (the
     pass is launch/grid-overhead bound), while at N=64k it rises ~11% from
     512→2048 (HBM-streaming bound) — so large N takes the largest tile that
-    fits the VMEM budget. GPPVAE_TILE_N overrides for sweeps."""
+    fits the VMEM budget. GPPVAE_TILE_N overrides for sweeps — but still
+    halves until the tile fits VMEM (an oversized override would otherwise
+    fail at Mosaic compile instead of declining like every other path)."""
     env = os.environ.get("GPPVAE_TILE_N")
-    if env:
-        return int(env)
-    t = 2048 if n >= 32768 else _TILE_N
+    t = int(env) if env else (2048 if n >= 32768 else _TILE_N)
     while t > 128 and not _fits_vmem(r, l, t):
         t //= 2
     return t

@@ -32,8 +32,12 @@ def make_mesh_2d(
     """2-D mesh: batch/N rows shard over `data`, large parameter matrices
     over `model` (tensor parallelism — see shard_params_model_axis). For
     this workload TP only pays once the dense latent heads grow large; the
-    axis exists so the scale-out story covers it (validated in
-    __graft_entry__.dryrun_multichip on the virtual mesh)."""
+    axis exists so the scale-out story covers it. Validated two ways on the
+    virtual mesh: the default threshold in __graft_entry__.dryrun_multichip
+    (one large encoder dense shards at dryrun shapes), and a lowered
+    threshold in tests/test_parallel.py::
+    test_tp_sharded_kernels_match_single_device where many conv/dense
+    kernels split and the trajectory still equals single-device."""
     devices = jax.devices()
     n = data * model
     if n > len(devices):

@@ -174,6 +174,20 @@ def test_nll_core_on_tpu_compiled():
     np.testing.assert_allclose(out, ref, rtol=1e-5)
 
 
+def test_tile_n_override_respects_vmem_budget(monkeypatch):
+    """GPPVAE_TILE_N is a sweep override, not a footgun: an oversized tile
+    is halved until it fits the VMEM budget instead of failing at Mosaic
+    compile (round-2 VERDICT weak #4)."""
+    from gppvae_tpu.ops.pallas_gemm import _fits_vmem, tile_n
+
+    monkeypatch.setenv("GPPVAE_TILE_N", "1024")
+    assert tile_n(4096, 56, 16) == 1024  # fits → honored verbatim
+    # R=2048 at tile 1024 blows the budget → halve-until-fits
+    t = tile_n(4096, 2048, 8)
+    assert t < 1024
+    assert _fits_vmem(2048, 8, t) or t == 128
+
+
 def test_factor_prep_declines_large_rank_to_xla():
     """RFF-scale R must fall back to XLA (VMEM budget guard), not abort."""
     U = jnp.ones((256, 2048), jnp.float32)

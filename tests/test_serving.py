@@ -148,6 +148,41 @@ def test_server_state_roundtrip(tmp_path, trained):
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+def test_load_without_meta_sidecar_fails_loudly(tmp_path, trained):
+    """A separated .meta.json must not silently serve with default feature
+    maps (ADVICE.md round-2): load raises unless explicitly overridden."""
+    import os
+
+    from gppvae_tpu.eval import load_server_state, save_server_state
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, *_ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    save_server_state(str(tmp_path / "srv"), state, meta={"zdim": 8})
+    os.remove(str(tmp_path / "srv") + ".meta.json")
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        load_server_state(str(tmp_path / "srv"))
+    state2, meta = load_server_state(str(tmp_path / "srv"),
+                                     allow_missing_meta=True)
+    assert meta == {}
+    assert state2.core.M.shape == state.core.M.shape
+
+
+def test_predict_images_rejects_effect_count_mismatch(trained):
+    """Serving with a different extra_effects tuple than at build time must
+    raise, not silently mispair variances (ADVICE.md round-2)."""
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )  # built with no extra effects → one variance
+    with pytest.raises(ValueError, match="effect"):
+        predict_images(res.model, state, d_ho, q_ho,
+                       extra_effects=("object",))
+
+
 def test_export_server_cli(tmp_path):
     """generate --export_server folds a run's checkpoint into the serving
     artifact; the loaded state predicts the run's heldout cells."""

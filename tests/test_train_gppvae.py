@@ -171,6 +171,50 @@ def test_extra_random_effects_train(small_ds, pretrained_vae, tmp_path):
     ])
 
 
+def test_polish_schedule_runs_f32_tail(small_ds, pretrained_vae):
+    """Automatic mixed precision (round-2 VERDICT #2): polish_epochs runs
+    the tail in f32. The bulk phase is byte-identical to a plain bf16 run;
+    a polish covering the WHOLE run equals a plain f32 run (the polish
+    program IS the f32 program — same params/opt state/RNG stream)."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=4, batch_size=16, seed=0,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8), epochs_per_dispatch=2,
+    )
+    vp = pretrained_vae.vae_params
+    pol = train_gppvae(
+        small_ds,
+        GPPVAETrainConfig(**kw, compute_dtype="bfloat16", polish_epochs=2),
+        vae_params=vp,
+    )
+    assert len(pol.history) == 4
+    assert pol.model.dtype == np.float32  # result model is the polish model
+
+    bf16 = train_gppvae(
+        small_ds, GPPVAETrainConfig(**kw, compute_dtype="bfloat16"),
+        vae_params=vp,
+    )
+    for key in ("loss", "gp_nll_full", "oos_mse"):
+        np.testing.assert_allclose(
+            [h[key] for h in pol.history[:2]],
+            [h[key] for h in bf16.history[:2]], rtol=1e-6,
+            err_msg=f"polish perturbed the bulk phase ({key})",
+        )
+
+    f32 = train_gppvae(small_ds, GPPVAETrainConfig(**kw), vae_params=vp)
+    full = train_gppvae(
+        small_ds,
+        GPPVAETrainConfig(**kw, compute_dtype="bfloat16", polish_epochs=4),
+        vae_params=vp,
+    )
+    for key in ("loss", "gp_nll_full", "oos_mse"):
+        np.testing.assert_allclose(
+            [h[key] for h in full.history],
+            [h[key] for h in f32.history], rtol=1e-6,
+            err_msg=f"whole-run polish must equal the plain f32 run ({key})",
+        )
+
+
 def test_flat_image_storage_matches_nhwc(small_ds, pretrained_vae):
     """flat_images_threshold=0 forces the large-N flat (N, H·W·C) storage;
     gather+reshape must reproduce the NHWC trajectory exactly (the gathered
