@@ -36,6 +36,36 @@ def gaussian_recon_nll(
     return recon, sq / D
 
 
+# |logit| above which f32 sigmoid rounds to exactly 0/1 is ~16.6
+# (ln 2^24); past it the recon gradient is EXACTLY zero and that output
+# unit can never recover. The barrier sits just below the cliff.
+SAT_LOGIT_BOUND = 15.0
+
+
+def logit_saturation_penalty(
+    logits: jax.Array, bound: float = SAT_LOGIT_BOUND
+) -> jax.Array:
+    """Per-sample quadratic barrier keeping decoder logits alive.
+
+    Root-caused in round 3 (BASELINE.md "saturation death"): on data with
+    exact-0/1 pixels the Gaussian-on-sigmoid recon pushes background
+    logits toward ±∞; once |logit| crosses ~17, f32 sigmoid returns
+    exactly 0/1, its gradient is exactly zero, and the decoder is
+    silently, PERMANENTLY dead — every long bf16 soak ended in this state
+    (oos pinned at the binary-prediction MSE 0.0254, σ_y at its matching
+    MLE √0.0254). relu(|l|−bound)² is identically zero — value AND
+    gradient — while |logits| < bound, so healthy trajectories (goldens,
+    reference-regime runs) are bit-unchanged; the prediction cost of
+    capping at 15 is (1−sigmoid(15))² ≈ 1e-13 per pixel, far below any
+    target floor. Returns a per-sample (B,) sum-over-pixels penalty (the
+    barrier gradient 2·excess per pixel dominates the saturation push,
+    which is ≤ s(1−s)/σ² ≈ 4e-3 at the bound even at σ=0.009, so unit
+    weight pins offending logits essentially at the bound).
+    """
+    excess = jax.nn.relu(jnp.abs(logits) - bound)
+    return jnp.sum(jnp.square(excess).reshape(logits.shape[0], -1), axis=1)
+
+
 def kl_standard_normal(mu: jax.Array, logvar: jax.Array) -> jax.Array:
     """Per-sample KL(N(μ, diag e^logvar) ‖ N(0, I)), summed over latent dims."""
     return 0.5 * jnp.sum(

@@ -28,7 +28,11 @@ from gppvae_tpu.train.batching import (
     masked_means,
     num_batches,
 )
-from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
+from gppvae_tpu.train.losses import (
+    gaussian_recon_nll,
+    kl_standard_normal,
+    logit_saturation_penalty,
+)
 from gppvae_tpu.utils import MetricsLogger
 
 
@@ -44,6 +48,8 @@ class CVAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"
+    # saturation-death barrier (losses.logit_saturation_penalty; <=0 off)
+    sat_penalty: float = 1.0
     dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     epochs_per_dispatch: int = 1
     outdir: str | None = None
@@ -123,6 +129,9 @@ def train_cvae(
                 recon, mse = gaussian_recon_nll(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )
+                if config.sat_penalty > 0:
+                    # saturation-death barrier — zero for healthy logits
+                    recon = recon + config.sat_penalty * logit_saturation_penalty(logits)
                 kl = kl_standard_normal(mu, logvar)
                 # sum over valid rows / constant bs (batching.py convention)
                 loss = jnp.sum(w * (recon + config.beta_kl * kl)) / bs

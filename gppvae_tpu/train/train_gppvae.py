@@ -72,7 +72,11 @@ from gppvae_tpu.train.batching import (
     masked_means,
     num_batches,
 )
-from gppvae_tpu.train.losses import gaussian_recon_nll, neg_entropy
+from gppvae_tpu.train.losses import (
+    gaussian_recon_nll,
+    logit_saturation_penalty,
+    neg_entropy,
+)
 from gppvae_tpu.utils import MetricsLogger, PhaseTimer, maybe_trace
 
 _METRIC_KEYS = (
@@ -122,12 +126,23 @@ class GPPVAETrainConfig:
     dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     # automatic mixed-precision schedule: with compute_dtype='bfloat16',
     # run the FINAL polish_epochs epochs in float32 (same param tree — the
-    # dtype only changes compute, checkpoints interchange). bf16 trains
-    # ~1.5× faster but its decoder precision floor caps extreme-horizon
-    # convergence (round-2 soak: oos plateaus at 0.025 where f32 reaches
-    # 6e-4, BASELINE.md); the polish tail removes the tradeoff so the fast
-    # path IS the best path. 0 = off; ignored for f32 runs.
+    # dtype only changes compute, checkpoints interchange; both Adams
+    # restart at the switch). NOTE: round 3 root-caused the round-2 "bf16
+    # plateau at oos 0.025" as sigmoid saturation death, not precision
+    # (see sat_penalty below) — with the barrier on, bf16 alone reaches
+    # the f32-class floor (2000-epoch soak: oos 8e-4 by the bf16 bulk end,
+    # BASELINE.md round-3). The polish tail remains as belt-and-braces for
+    # workloads where bf16 noise does bind. 0 = off; ignored for f32 runs.
     polish_epochs: int = 0
+    # gradient-spike guard: global-norm clip in front of Adam (<=0 off).
+    # Exactly 1.0-scaling below the threshold, so healthy runs are
+    # bit-unchanged; see make_optimizer for the ν-poisoning root cause.
+    clip_grad_norm: float = 1e5
+    # saturation-death barrier weight (<=0 off): keeps decoder logits out
+    # of the exactly-zero-gradient sigmoid region on extreme-horizon runs;
+    # identically zero for healthy trajectories (losses.py
+    # logit_saturation_penalty — round-3 root cause).
+    sat_penalty: float = 1.0
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
     resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
@@ -190,6 +205,31 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
     Mw = config.view_feature_dim or (2 * config.view_num_freqs + 1)
     W = jax.random.normal(jax.random.PRNGKey(7), (Q, Mw), jnp.float32)
     return gp.normalize_rows(W)
+
+
+def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
+    """Adam guarded against gradient spikes: global-norm clip + a
+    nonfinite-gradient skip (optax.apply_if_finite).
+
+    Root-caused in round 3 (BASELINE.md "polish soak"): at epoch ~880 of
+    the 2000-epoch bf16 learn_sigma_y soak a FINITE gradient spike of
+    ~1e13 magnitude hit the encoder (Adam ν measured at 3.9e26 in
+    head_logvar afterwards). ν never recovers at β2=0.999, so every later
+    update is sub-ulp (param + update == param in f32) and the run trains
+    never again while all metrics stay finite — a silently dead run that
+    round 2 misread as a "bf16 precision plateau". The clip caps the spike
+    so ν stays sane; it multiplies by exactly 1.0 whenever the global norm
+    is below clip_grad_norm, so healthy trajectories (goldens included) are
+    bit-unchanged. apply_if_finite additionally skips fully nonfinite
+    steps. clip_grad_norm <= 0 disables the clip.
+
+    NOTE: wrapping changes the optimizer-state pytree, so full-state
+    checkpoints written before round 3 are not loadable (same policy as the
+    round-1 log_vs format change — interim formats, never released)."""
+    opt = optax.adam(lr)
+    if clip_grad_norm and clip_grad_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(clip_grad_norm), opt)
+    return optax.apply_if_finite(opt, max_consecutive_errors=100)
 
 
 def _split_gp_aux(gp_params):
@@ -319,6 +359,10 @@ class _Loop:
                 z = reparameterize(step_key, mu, logvar)
                 logits = model.apply(p["vae"], z, method=VAE.decode)
                 recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), sy)
+                if config.sat_penalty > 0:
+                    # saturation-death barrier (losses.py): exactly 0 while
+                    # logits stay in the gradient-alive range
+                    recon = recon + config.sat_penalty * logit_saturation_penalty(logits)
                 W = p["gp"]["W"] if learn_W else fixed_W
                 v = self.build_effects(p["gp"]["X"], W, d_tr[pos], q_tr[pos])
                 aux = _split_gp_aux(p["gp"])
@@ -569,8 +613,8 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     nystrom_idx = None
     if config.object_kernel == "rbf-nystrom":
         nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-    opt_vae = optax.adam(config.lr_vae)
-    opt_gp = optax.adam(config.lr_gp)
+    opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm)
+    opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm)
     ov_state = opt_vae.init(params["vae"])
     og_state = opt_gp.init(params["gp"])
     start_epoch = 0
@@ -626,6 +670,17 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
             )
             loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
                          nystrom_idx=nystrom_idx)
+            # RESTART both Adams at the precision switch: the bulk phase's
+            # second-moment history is calibrated to bf16-noise gradient
+            # scales (and can carry spike damage — see make_optimizer), so
+            # inheriting it throttles the f32 tail; measured on the 2000-ep
+            # soak, the inherited-state polish stays at the 0.025 plateau
+            # while the restarted one descends (BASELINE.md round-3 soak).
+            # No-op when there was no bulk phase (polish >= epochs), which
+            # keeps whole-run polish == plain f32 bit-exact.
+            if bulk_end > 0:
+                ov_state = opt_vae.init(params["vae"])
+                og_state = opt_gp.init(params["gp"])
             params, ov_state, og_state = runner(
                 loop, params, ov_state, og_state, fixed_W, arrays, rng,
                 config, model, log, history, start_epoch,
@@ -813,8 +868,8 @@ def fused_epoch_cost(dataset, config: GPPVAETrainConfig, mesh=None,
         nystrom_idx = None
         if config.object_kernel == "rbf-nystrom":
             nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-        opt_vae = optax.adam(config.lr_vae)
-        opt_gp = optax.adam(config.lr_gp)
+        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm)
+        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm)
         loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
                      nystrom_idx=nystrom_idx)
         a = arrays
@@ -865,6 +920,9 @@ def main(argv=None):
     p.add_argument("--polish_epochs", type=int, default=0,
                    help="with --dtype bfloat16: run the final K epochs in "
                         "float32 (automatic mixed-precision polish)")
+    p.add_argument("--clip_grad_norm", type=float, default=1e5,
+                   help="global-norm gradient clip guarding Adam against "
+                        "spike poisoning (<=0 disables)")
     p.add_argument("--learn_sigma_y", action="store_true",
                    help="learn the decoder noise std (log-param in the GP group)")
     p.add_argument("--extra_effects", default="",
@@ -898,6 +956,7 @@ def main(argv=None):
         nystrom_rank=args.nystrom_rank,
         compute_dtype=args.dtype, vae_weights=args.vae_weights, dec_upsample=args.dec_upsample,
         polish_epochs=args.polish_epochs,
+        clip_grad_norm=args.clip_grad_norm,
         learn_sigma_y=args.learn_sigma_y,
         extra_effects=tuple(
             e.strip() for e in args.extra_effects.split(",") if e.strip()

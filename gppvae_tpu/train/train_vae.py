@@ -32,7 +32,11 @@ from gppvae_tpu.train.batching import (
     masked_means,
     num_batches,
 )
-from gppvae_tpu.train.losses import gaussian_recon_nll, kl_standard_normal
+from gppvae_tpu.train.losses import (
+    gaussian_recon_nll,
+    kl_standard_normal,
+    logit_saturation_penalty,
+)
 from gppvae_tpu.utils import MetricsLogger
 
 
@@ -51,6 +55,10 @@ class VAETrainConfig:
     enc_features: Sequence[int] = (32, 64, 128)
     dec_features: Sequence[int] = (128, 64, 32)
     compute_dtype: str = "float32"  # 'bfloat16' for MXU speed
+    # saturation-death barrier weight (losses.logit_saturation_penalty):
+    # exactly zero for healthy logits, prevents permanent sigmoid death
+    # on extreme-horizon runs (<=0 off)
+    sat_penalty: float = 1.0
     dec_upsample: str = "resize"  # 'subpixel' = fused MXU-friendly rewrite
     # images stored FLAT (N, H·W·C) above this size, reshaped per gather
     # (default 0 = always; value-exact) — see
@@ -112,6 +120,9 @@ def make_epochs_fn(
                 recon, mse = gaussian_recon_nll(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )
+                if config.sat_penalty > 0:
+                    # saturation-death barrier — zero for healthy logits
+                    recon = recon + config.sat_penalty * logit_saturation_penalty(logits)
                 kl = kl_standard_normal(mu, logvar)
                 # sum over valid rows / constant bs (batching.py convention)
                 loss = jnp.sum(w * (recon + config.beta_kl * kl)) / bs

@@ -171,6 +171,56 @@ def test_extra_random_effects_train(small_ds, pretrained_vae, tmp_path):
     ])
 
 
+def test_logit_saturation_penalty_properties():
+    """The saturation-death barrier (round-3 root cause): identically zero
+    — value AND gradient — for in-range logits, so healthy trajectories
+    are untouched; beyond the bound the gradient pulls back toward the
+    gradient-alive sigmoid region."""
+    import jax
+    import jax.numpy as jnp
+
+    from gppvae_tpu.train.losses import (
+        SAT_LOGIT_BOUND,
+        logit_saturation_penalty,
+    )
+
+    healthy = jnp.array([[-14.9, 0.0, 5.0, SAT_LOGIT_BOUND]])
+    assert float(logit_saturation_penalty(healthy).sum()) == 0.0
+    g = jax.grad(lambda l: jnp.sum(logit_saturation_penalty(l)))(healthy)
+    assert float(jnp.abs(g).max()) == 0.0  # bit-exact no-op when healthy
+
+    dead = jnp.array([[25.0, -30.0, 0.0, 1.0]])
+    pen = float(logit_saturation_penalty(dead).sum())
+    assert pen == (25.0 - 15.0) ** 2 + (30.0 - 15.0) ** 2
+    gd = jax.grad(lambda l: jnp.sum(logit_saturation_penalty(l)))(dead)
+    assert float(gd[0, 0]) > 0 and float(gd[0, 1]) < 0  # pulls back
+    assert float(gd[0, 2]) == 0.0 == float(gd[0, 3])
+
+
+def test_sat_penalty_knob_live_and_harmless(small_ds, pretrained_vae):
+    """End-to-end knob check: the barrier is reachable from config (some
+    logits graze the bound even on short runs, so trajectories differ)
+    while staying harmless — both runs finite with equivalent fit. The
+    bit-exact-when-healthy property is covered by the unit test above and
+    by the regenerated goldens."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=2, batch_size=16, seed=0,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    vp = pretrained_vae.vae_params
+    on = train_gppvae(small_ds, GPPVAETrainConfig(**kw, sat_penalty=1.0),
+                      vae_params=vp)
+    off = train_gppvae(small_ds, GPPVAETrainConfig(**kw, sat_penalty=0.0),
+                       vae_params=vp)
+    assert all(np.isfinite(h["loss"]) for h in on.history + off.history)
+    assert on.history[-1]["loss"] != off.history[-1]["loss"]  # knob live
+    np.testing.assert_allclose(
+        on.history[-1]["mse"], off.history[-1]["mse"], rtol=0.1,
+        err_msg="barrier must not materially change short-run fit",
+    )
+
+
 def test_polish_schedule_runs_f32_tail(small_ds, pretrained_vae):
     """Automatic mixed precision (round-2 VERDICT #2): polish_epochs runs
     the tail in f32. The bulk phase is byte-identical to a plain bf16 run;
