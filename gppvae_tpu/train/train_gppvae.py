@@ -207,9 +207,43 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
     return gp.normalize_rows(W)
 
 
+def skip_nonfinite(opt: "optax.GradientTransformation"):
+    """Skip-step guard without lax.cond: when any gradient entry is
+    nonfinite, emit zero updates and keep the inner optimizer state
+    untouched — the exact semantics of optax.apply_if_finite, but
+    implemented with jnp.where selects. apply_if_finite's lax.cond around
+    the whole Adam update measured 12.7% of device time in the round-3
+    trace (demo/trace_r3 conditional.20/.21: the cond blocks fusion of the
+    update chain); the select form costs one isfinite pass and fuses.
+    State: {'inner': …, 'notfinite_count': int32 total skipped steps}."""
+
+    def init(params):
+        return {"inner": opt.init(params),
+                "notfinite_count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        finite = jnp.array(True)
+        for g in jax.tree.leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        updates, new_inner = opt.update(grads, state["inner"], params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        new_inner = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_inner, state["inner"]
+        )
+        return updates, {
+            "inner": new_inner,
+            "notfinite_count": state["notfinite_count"]
+            + jnp.where(finite, 0, 1).astype(jnp.int32),
+        }
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
     """Adam guarded against gradient spikes: global-norm clip + a
-    nonfinite-gradient skip (optax.apply_if_finite).
+    nonfinite-gradient skip (skip_nonfinite above).
 
     Root-caused in round 3 (BASELINE.md "polish soak"): at epoch ~880 of
     the 2000-epoch bf16 learn_sigma_y soak a FINITE gradient spike of
@@ -220,7 +254,7 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
     round 2 misread as a "bf16 precision plateau". The clip caps the spike
     so ν stays sane; it multiplies by exactly 1.0 whenever the global norm
     is below clip_grad_norm, so healthy trajectories (goldens included) are
-    bit-unchanged. apply_if_finite additionally skips fully nonfinite
+    bit-unchanged. skip_nonfinite additionally skips fully nonfinite
     steps. clip_grad_norm <= 0 disables the clip.
 
     NOTE: wrapping changes the optimizer-state pytree, so full-state
@@ -229,7 +263,7 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
     opt = optax.adam(lr)
     if clip_grad_norm and clip_grad_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(clip_grad_norm), opt)
-    return optax.apply_if_finite(opt, max_consecutive_errors=100)
+    return skip_nonfinite(opt)
 
 
 def _split_gp_aux(gp_params):

@@ -23,7 +23,10 @@ import gzip
 import json
 import os
 import re
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _categorize(name: str) -> str:
