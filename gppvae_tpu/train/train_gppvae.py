@@ -143,6 +143,14 @@ class GPPVAETrainConfig:
     # identically zero for healthy trajectories (losses.py
     # logit_saturation_penalty — round-3 root cause).
     sat_penalty: float = 1.0
+    # gradient accumulation: one optimizer step per k minibatches (both
+    # Adams, averaged grads via optax.MultiSteps). THE large-N knob: keeps
+    # per-epoch optimizer path length (and so the Taylor surrogate's
+    # per-epoch drift) bounded as steps-per-epoch grows — set
+    # k ≈ (N/bs)/45 to reproduce benchmark-shape dynamics at any N instead
+    # of rescaling learning rates. 1 = step per minibatch (reference
+    # semantics, default).
+    grad_accum_steps: int = 1
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
     resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
@@ -241,7 +249,8 @@ def skip_nonfinite(opt: "optax.GradientTransformation"):
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
+def make_optimizer(lr: float, clip_grad_norm: float = 1e5,
+                   grad_accum_steps: int = 1):
     """Adam guarded against gradient spikes: global-norm clip + a
     nonfinite-gradient skip (skip_nonfinite above).
 
@@ -263,7 +272,16 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5):
     opt = optax.adam(lr)
     if clip_grad_norm and clip_grad_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(clip_grad_norm), opt)
-    return skip_nonfinite(opt)
+    opt = skip_nonfinite(opt)
+    if grad_accum_steps > 1:
+        # gradient accumulation (optax.MultiSteps): one Adam step per k
+        # minibatches on the averaged gradient. The large-N stabilizer:
+        # per-epoch Adam path length is (steps-per-epoch/k)·lr, and the
+        # Taylor surrogate stays inside its per-epoch trust region when
+        # k ≈ steps-per-epoch/45 (the benchmark-shape step count) without
+        # touching learning rates (BASELINE.md "large-N surrogate drift").
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps)
+    return opt
 
 
 def _split_gp_aux(gp_params):
@@ -647,8 +665,10 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     nystrom_idx = None
     if config.object_kernel == "rbf-nystrom":
         nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-    opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm)
-    opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm)
+    opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm,
+                             config.grad_accum_steps)
+    opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm,
+                            config.grad_accum_steps)
     ov_state = opt_vae.init(params["vae"])
     og_state = opt_gp.init(params["gp"])
     start_epoch = 0
@@ -902,8 +922,10 @@ def fused_epoch_cost(dataset, config: GPPVAETrainConfig, mesh=None,
         nystrom_idx = None
         if config.object_kernel == "rbf-nystrom":
             nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm)
-        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm)
+        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm,
+                                 config.grad_accum_steps)
+        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm,
+                                config.grad_accum_steps)
         loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
                      nystrom_idx=nystrom_idx)
         a = arrays
@@ -957,6 +979,9 @@ def main(argv=None):
     p.add_argument("--clip_grad_norm", type=float, default=1e5,
                    help="global-norm gradient clip guarding Adam against "
                         "spike poisoning (<=0 disables)")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="one optimizer step per k minibatches (large-N "
+                        "trust-region knob; k ~ (N/bs)/45)")
     p.add_argument("--learn_sigma_y", action="store_true",
                    help="learn the decoder noise std (log-param in the GP group)")
     p.add_argument("--extra_effects", default="",
@@ -991,6 +1016,7 @@ def main(argv=None):
         compute_dtype=args.dtype, vae_weights=args.vae_weights, dec_upsample=args.dec_upsample,
         polish_epochs=args.polish_epochs,
         clip_grad_norm=args.clip_grad_norm,
+        grad_accum_steps=args.grad_accum_steps,
         learn_sigma_y=args.learn_sigma_y,
         extra_effects=tuple(
             e.strip() for e in args.extra_effects.split(",") if e.strip()

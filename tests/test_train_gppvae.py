@@ -221,6 +221,24 @@ def test_sat_penalty_knob_live_and_harmless(small_ds, pretrained_vae):
     )
 
 
+def test_grad_accum_steps(small_ds, pretrained_vae):
+    """Gradient accumulation (the large-N trust-region knob): k>1 trains,
+    stays finite, genuinely changes the step cadence (trajectory differs
+    from per-minibatch), and still learns (loss decreases)."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=4, batch_size=16, seed=0,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8), epochs_per_dispatch=2,
+    )
+    vp = pretrained_vae.vae_params
+    base = train_gppvae(small_ds, GPPVAETrainConfig(**kw), vae_params=vp)
+    acc = train_gppvae(small_ds, GPPVAETrainConfig(**kw, grad_accum_steps=3),
+                       vae_params=vp)
+    assert all(np.isfinite(h["loss"]) for h in acc.history)
+    assert acc.history[-1]["loss"] != base.history[-1]["loss"]
+    assert acc.history[-1]["loss"] < acc.history[0]["loss"]
+
+
 def test_polish_schedule_runs_f32_tail(small_ds, pretrained_vae):
     """Automatic mixed precision (round-2 VERDICT #2): polish_epochs runs
     the tail in f32. The bulk phase is byte-identical to a plain bf16 run;
