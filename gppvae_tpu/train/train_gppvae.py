@@ -151,6 +151,15 @@ class GPPVAETrainConfig:
     # of rescaling learning rates. 1 = step per minibatch (reference
     # semantics, default).
     grad_accum_steps: int = 1
+    # sub-epoch Taylor refresh: re-run Phase A+B (full-dataset encode +
+    # surrogate re-expansion) every k minibatch steps INSIDE the epoch,
+    # bounding coefficient staleness when steps-per-epoch is huge — the
+    # complement of grad_accum_steps for workloads that want large-N AND
+    # per-minibatch optimizer updates. Costs one extra full-N encode per
+    # refresh and unrolls ceil(nb/k) scan segments into the epoch program
+    # (compile time scales with it — keep nb/k modest). 0 = refresh once
+    # per epoch (reference semantics, default).
+    refresh_every_steps: int = 0
     vae_weights: str | None = None  # --vae_weights handoff (SURVEY.md §5)
     resume: str | None = None  # full-state checkpoint to resume from
     ops_backend: str = "auto"  # 'auto' → pallas on TPU, xla elsewhere
@@ -385,13 +394,14 @@ class _Loop:
 
     # -- phase C
     def minibatch_epoch(self, params, ov_state, og_state, fixed_W, images_tr,
-                        d_tr, q_tr, coeffs, epoch_key):
+                        d_tr, q_tr, coeffs, epoch_key, row_mask=None):
         bs = self.config.batch_size
         config = self.config
         model, num_train = self.model, self.num_train
         learn_W, batch_sharding = self.learn_W, self.batch_sharding
 
-        def minibatch_step(carry, xs):
+        def make_step(coeffs):
+          def minibatch_step(carry, xs):
             params, ov_state, og_state = carry
             pos, w, step_key = xs  # positions into the train arrays + mask
 
@@ -440,13 +450,39 @@ class _Loop:
             }
             return (params, ov2, og2), jnp.stack([loss, *aux_m])
 
+          return minibatch_step
+
         batches, weights = epoch_batches(epoch_key, num_train, bs)
         step_keys = jax.random.split(jax.random.fold_in(epoch_key, 1), self.nb)
-        (params, ov_state, og_state), metrics = jax.lax.scan(
-            minibatch_step, (params, ov_state, og_state),
-            (batches, weights, step_keys),
-            unroll=min(config.scan_unroll, self.nb),
-        )
+        k = config.refresh_every_steps
+        carry = (params, ov_state, og_state)
+        if k and 0 < k < self.nb:
+            # sub-epoch Taylor refresh: static segmentation (host-side
+            # bounds, traced arrays sliced with python ints — no dynamic
+            # shapes); Phase A+B re-centers the surrogate at the CURRENT
+            # params between segments. Segment 0 reuses the entering
+            # coeffs (just computed by the caller's refresh).
+            rows = []
+            for s in range(0, self.nb, k):
+                e = min(s + k, self.nb)
+                if s > 0:
+                    _, coeffs = self.refresh_and_solve(
+                        carry[0], fixed_W, images_tr, d_tr, q_tr, row_mask
+                    )
+                carry, m = jax.lax.scan(
+                    make_step(coeffs), carry,
+                    (batches[s:e], weights[s:e], step_keys[s:e]),
+                    unroll=min(config.scan_unroll, e - s),
+                )
+                rows.append(m)
+            metrics = jnp.concatenate(rows, axis=0)
+        else:
+            carry, metrics = jax.lax.scan(
+                make_step(coeffs), carry,
+                (batches, weights, step_keys),
+                unroll=min(config.scan_unroll, self.nb),
+            )
+        params, ov_state, og_state = carry
         return params, ov_state, og_state, jnp.mean(metrics, axis=0)
 
     # -- out-of-sample eval (given a fresh Z0 for the current params)
@@ -479,7 +515,7 @@ class _Loop:
                 )
                 params, ov_state, og_state, cm = self.minibatch_epoch(
                     params, ov_state, og_state, fixed_W, images_tr, d_tr,
-                    q_tr, coeffs, epoch_key,
+                    q_tr, coeffs, epoch_key, row_mask,
                 )
                 row = jnp.concatenate([
                     cm,
@@ -982,6 +1018,9 @@ def main(argv=None):
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="one optimizer step per k minibatches (large-N "
                         "trust-region knob; k ~ (N/bs)/45)")
+    p.add_argument("--refresh_every_steps", type=int, default=0,
+                   help="re-expand the Taylor surrogate every k minibatch "
+                        "steps inside the epoch (0 = once per epoch)")
     p.add_argument("--learn_sigma_y", action="store_true",
                    help="learn the decoder noise std (log-param in the GP group)")
     p.add_argument("--extra_effects", default="",
@@ -1017,6 +1056,7 @@ def main(argv=None):
         polish_epochs=args.polish_epochs,
         clip_grad_norm=args.clip_grad_norm,
         grad_accum_steps=args.grad_accum_steps,
+        refresh_every_steps=args.refresh_every_steps,
         learn_sigma_y=args.learn_sigma_y,
         extra_effects=tuple(
             e.strip() for e in args.extra_effects.split(",") if e.strip()

@@ -239,6 +239,34 @@ def test_grad_accum_steps(small_ds, pretrained_vae):
     assert acc.history[-1]["loss"] < acc.history[0]["loss"]
 
 
+def test_refresh_every_steps(small_ds, pretrained_vae):
+    """Sub-epoch Taylor refresh: k < steps-per-epoch re-expands the
+    surrogate mid-epoch — trains, stays finite, genuinely changes the
+    trajectory, still learns; k >= steps-per-epoch is the documented
+    no-op (bit-identical to the default once-per-epoch refresh)."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=4, batch_size=16, seed=0,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8), epochs_per_dispatch=2,
+    )
+    vp = pretrained_vae.vae_params
+    base = train_gppvae(small_ds, GPPVAETrainConfig(**kw), vae_params=vp)
+    sub = train_gppvae(
+        small_ds, GPPVAETrainConfig(**kw, refresh_every_steps=3),
+        vae_params=vp,
+    )
+    assert all(np.isfinite(h["loss"]) for h in sub.history)
+    assert sub.history[-1]["loss"] != base.history[-1]["loss"]
+    assert sub.history[-1]["loss"] < sub.history[0]["loss"]
+    # k >= nb (ceil(106/16)=7) must leave the program unchanged
+    noop = train_gppvae(
+        small_ds, GPPVAETrainConfig(**kw, refresh_every_steps=100),
+        vae_params=vp,
+    )
+    for a, b in zip(noop.history, base.history):
+        assert a["loss"] == b["loss"] and a["oos_mse"] == b["oos_mse"]
+
+
 def test_polish_schedule_runs_f32_tail(small_ds, pretrained_vae):
     """Automatic mixed precision (round-2 VERDICT #2): polish_epochs runs
     the tail in f32. The bulk phase is byte-identical to a plain bf16 run;
