@@ -44,6 +44,7 @@ def test_train_gppvae_flags_reach_config(monkeypatch):
         "--epochs", "1", "--learn_sigma_y", "--extra_effects", "object,view",
         "--ops_backend", "xla", "--encode_chunk", "64", "--scan_unroll", "3",
         "--flat_images_threshold", "999999", "--outdir", "/tmp/cli_cfg_test",
+        "--grad_accum_steps", "4", "--refresh_every_steps", "9",
     ])
     c = captured["config"]
     assert c.learn_sigma_y is True
@@ -52,3 +53,5 @@ def test_train_gppvae_flags_reach_config(monkeypatch):
     assert c.encode_chunk == 64
     assert c.scan_unroll == 3
     assert c.flat_images_threshold == 999999
+    assert c.grad_accum_steps == 4
+    assert c.refresh_every_steps == 9

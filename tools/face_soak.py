@@ -3,6 +3,10 @@ inert on real-valued (non-binary) data. Two arms, same seed: sat_penalty=1
 (default) vs 0. If the barrier is inert the trajectories must be
 bit-identical; also report max|logit| distance from the ~15 bound."""
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
