@@ -14,10 +14,30 @@ into VMEM once, feeds both MXU contractions and the VPU reduction, and
 accumulates into resident VMEM outputs — ⅓ the HBM traffic of the separate
 calls that XLA emits (it will not fuse three dots over a shared operand).
 
-Non-tile-aligned N, R, L (SURVEY.md §7 hard-part #5) are zero-padded: padded
-U columns produce zero Gram/projection rows (harmless to the Woodbury core:
-B gets an identity block whose log-det contribution is 0), padded rows
-contribute nothing.
+Where that wins and where it doesn't (round-3 device-trace A/B,
+BASELINE.md "kernel-level factor_prep"): with lane-ALIGNED R (128..1024)
+and HBM-resident operands the fused pass beats XLA's two dots 1.3–2×.
+With lane-unaligned R, XLA:TPU feeds the custom call through a
+tiled→packed relayout (~117 GB/s) that no kernel code can avoid, and when
+U comes from an in-program producer XLA fuses the producer into its own
+dot but must materialize it for the opaque call — in both regimes XLA
+wins, so the dispatch declines (see _dispatch_factor_prep).
+
+Non-tile-aligned N (SURVEY.md §7 hard-part #5) is handled by masking the
+ragged last tile's rows inside the kernel — NOT by a host-side jnp.pad:
+padding materialized full copies of U and Z in HBM before the kernel ran
+(at N=65k/R=56 that was ~5× the kernel's own traffic) and was the round-3
+kernel A/B's root cause for losing the bandwidth-bound regime to XLA.
+R and L need no padding at all: each N-tile block spans the full row, a
+contiguous HBM region, and Mosaic lane-pads VMEM internally.
+
+MXU precision matches the XLA fallback it replaces (`_xla_factor_prep`
+uses default-precision jnp.dot): on real TPU inputs are cast to bfloat16
+for a single MXU pass with f32 accumulation — exactly XLA's TPU default —
+instead of the multi-pass true-f32 Mosaic dot that made the round-3 A/B
+lose the compute-bound regime ~2×. Interpret/CPU keeps f32 operands,
+matching CPU XLA's default, so parity tests hold on both platforms.
+GPPVAE_PALLAS_F32=1 forces f32 operands on TPU for accuracy A/Bs.
 
 Backward passes are closed-form small-rank GEMMs (dU = U·(dG+dGᵀ) + Z·dUtZᵀ,
 dZ = U·dUtZ + 2·dzn·Z) that XLA already lowers optimally, so the custom_vjp
@@ -86,64 +106,84 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _factor_prep_kernel(u_ref, z_ref, g_ref, utz_ref, zn_ref):
-    i = pl.program_id(0)
+def _mxu_dtype() -> jnp.dtype:
+    """Operand dtype for the kernel's MXU contractions. On real TPU, match
+    the XLA fallback's default-precision jnp.dot (bf16 operands, one MXU
+    pass, f32 accumulation); in interpret mode match CPU XLA (full f32).
+    GPPVAE_PALLAS_F32=1 forces f32 operands on TPU (multi-pass, ~2× slower
+    at compute-bound R — the round-3 A/B's measured loss)."""
+    if _interpret() or os.environ.get("GPPVAE_PALLAS_F32") == "1":
+        return jnp.float32
+    return jnp.bfloat16
 
-    @pl.when(i == 0)
-    def _():
-        g_ref[:] = jnp.zeros_like(g_ref)
-        utz_ref[:] = jnp.zeros_like(utz_ref)
-        zn_ref[0, 0] = jnp.float32(0.0)
 
-    u = u_ref[:]
-    z = z_ref[:]
-    g_ref[:] += jax.lax.dot_general(
-        u, u, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    utz_ref[:] += jax.lax.dot_general(
-        u, z, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    zn_ref[0, 0] += jnp.sum(z * z)
+def _make_factor_prep_kernel(n: int, tile: int, mxu_dtype):
+    ragged = n % tile != 0
+
+    def kernel(u_ref, z_ref, g_ref, utz_ref, zn_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[:] = jnp.zeros_like(g_ref)
+            utz_ref[:] = jnp.zeros_like(utz_ref)
+            zn_ref[0, 0] = jnp.float32(0.0)
+
+        u = u_ref[:]
+        z = z_ref[:]
+        if ragged:
+            # Last tile reads past N: those rows are unspecified — zero
+            # them (sublane mask; lane-dim masking is never needed because
+            # blocks span the full row).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+            valid = rows < (n - i * tile)
+            u = jnp.where(valid, u, 0.0)
+            z = jnp.where(valid, z, 0.0)
+        um = u.astype(mxu_dtype)
+        zm = z.astype(mxu_dtype)
+        g_ref[:] += jax.lax.dot_general(
+            um, um, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        utz_ref[:] += jax.lax.dot_general(
+            um, zm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        zn_ref[0, 0] += jnp.sum(z * z)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _factor_prep_pallas(U: jax.Array, Z: jax.Array, tile_n: int):
     N, R = U.shape
     _, L = Z.shape
-    Np = _round_up(N, tile_n)
-    Rp = _round_up(R, _LANE)
-    Lp = _round_up(L, _LANE)
-    Upad = jnp.pad(U, ((0, Np - N), (0, Rp - R)))
-    Zpad = jnp.pad(Z, ((0, Np - N), (0, Lp - L)))
-
-    grid = (Np // tile_n,)
+    grid = (_round_up(N, tile_n) // tile_n,)
     g, utz, zn = pl.pallas_call(
-        _factor_prep_kernel,
+        _make_factor_prep_kernel(N, tile_n, _mxu_dtype()),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, R), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((Rp, Rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rp, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Rp, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((Rp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((R, R), jnp.float32),
+            jax.ShapeDtypeStruct((R, L), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Np * Rp * (Rp + Lp) + 2 * Np * Lp,
-            bytes_accessed=4 * Np * (Rp + Lp) + 4 * (Rp * Rp + Rp * Lp),
+            flops=2 * N * R * (R + L) + 2 * N * L,
+            bytes_accessed=4 * N * (R + L) + 4 * (R * R + R * L),
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(Upad, Zpad)
-    return g[:R, :R], utz[:R, :L], zn[0, 0]
+    )(U, Z)
+    return g, utz, zn[0, 0]
 
 
 # ------------------------------------------------------------------ VJP
@@ -177,6 +217,17 @@ def _dispatch_factor_prep(U, Z):
     if U.dtype != jnp.float32 or Z.dtype != jnp.float32:
         return NotImplemented
     if not (_on_tpu() or _interpret()):
+        return NotImplemented
+    if not _interpret() and U.shape[1] % _LANE != 0:
+        # Performance decline, measured (round-3 kernel A/B, BASELINE.md):
+        # XLA:TPU hands custom calls lane-UNALIGNED operands through a
+        # tiled→packed relayout copy that streams at ~117 GB/s (vs
+        # ~671 GB/s for aligned operands) — nothing inside Pallas can
+        # avoid it (operand layouts aren't controllable), so at R=56 the
+        # kernel loses ~2× to XLA's fused dots no matter what the kernel
+        # does. Aligned R (128..1024): the kernel WINS 1.3–2× (one fused
+        # pass over U vs XLA's two dots). Unaligned L rides along fine
+        # (Z's traffic is small); only U's lane dim gates.
         return NotImplemented
     tile = tile_n(U.shape[0], U.shape[1], Z.shape[1])
     if not _fits_vmem(U.shape[1], Z.shape[1], tile):

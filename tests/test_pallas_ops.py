@@ -101,8 +101,16 @@ def test_float64_falls_back_to_xla():
 
 
 @pytest.mark.tpu
-def test_factor_prep_on_tpu_compiled():
-    U, Z = _rand(jax.random.PRNGKey(4), 6400, 56, 16)
+@pytest.mark.parametrize(
+    "n,r",
+    [
+        (6400, 128),   # lane-aligned R: exercises the compiled kernel
+        (6401, 256),   # aligned R, ragged N: in-kernel row masking
+        (6400, 56),    # unaligned R: perf-declines to XLA on TPU (still exact)
+    ],
+)
+def test_factor_prep_on_tpu_compiled(n, r):
+    U, Z = _rand(jax.random.PRNGKey(4), n, r, 16)
     g_ref, utz_ref, zn_ref = ops.factor_prep(U, Z, impl="xla")
     g, utz, zn = ops.factor_prep(U, Z, impl="pallas")
     np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-3)

@@ -1,16 +1,28 @@
 """Kernel-level Pallas-vs-XLA A/B for the fused Phase-B factor_prep
-(one-pass {UᵀU, UᵀZ, ‖Z‖²}) across R — the evidence behind "the Pallas
-kernels are the large-R path" (BASELINE.md round-3 end-to-end A/B is
-neutral because Phase B is 3–5% of epoch FLOPs at the bench shape).
+(one-pass {UᵀU, UᵀZ, ‖Z‖²}) across R — the evidence behind the dispatch
+rule in ops/pallas_gemm.py: the fused kernel runs only for lane-aligned R
+(where it wins 1.3–2×) and declines to XLA otherwise.
 
-Timing is DEVICE time from a jax.profiler trace (parsed with
-tools/trace_summary.summarize_trace), not wall clock: the shared relay
-adds ~25-30 ms of drift-prone round-trip per dispatch, which dwarfs and
-corrupts µs-scale kernel timings (two wall-clock harnesses failed here —
-CLAUDE.md relay lessons). Each program runs K reps of the kernel inside
-one lax.scan; per-rep input perturbation defeats XLA's loop-invariant
-hoisting, and a no-kernel baseline program with the same perturbation adds
-is measured and subtracted. Prints one JSON line per (N, R).
+Methodology (three harnesses died to get here — keep these rules):
+- DEVICE time from a jax.profiler trace (tools/trace_summary), never wall
+  clock: the shared relay adds ~25-30 ms of drift-prone round-trip per
+  dispatch (CLAUDE.md relay lessons).
+- Loop-dispatch over M DISTINCT pre-materialized (U, Z) buffers, one
+  jitted call each, NOT a lax.scan over a stacked (M, N, R) array: inside
+  a scan XLA fuses the per-rep dynamic-slice into its own dots but must
+  MATERIALIZE the slice for the opaque custom call — the scan harness
+  taxed only the Pallas arm (round-3 finding; a ~2× phantom penalty).
+  Distinct buffers also defeat relay-side memoization.
+- Module windows quantize to ~100 µs through the relay, so N is scaled up
+  (262144 rows ≈ 0.5-1.3 ms per dispatch) and M=12-24 windows averaged.
+
+Two regimes are reported per R:
+  resident  — operands are plain device arrays (the serving / large-R
+              path, where Phase B dominates and U is reused across calls)
+  produced  — U is materialized by an in-program elementwise producer
+              (the fused-trainer shape: XLA fuses the producer into its
+              dot; the custom call forces a materialization first)
+Prints one JSON line per (N, R, regime).
 """
 import glob
 import json
@@ -25,55 +37,57 @@ import jax
 import jax.numpy as jnp
 
 from gppvae_tpu import ops
+from gppvae_tpu.ops.pallas_gemm import factor_prep_pallas
 from trace_summary import summarize_trace
 
+
+def _pallas_raw(U, Z):
+    """The kernel itself, bypassing the dispatch's perf-decline rule —
+    the A/B must measure the kernel even where dispatch routes to XLA."""
+    return factor_prep_pallas(U, Z)
+
 L = 16
+N = 262144
 
 
-def _program_device_s(impl: str, N: int, R: int, K: int) -> float:
-    """Device seconds for one dispatch scanning the kernel over K
-    pre-materialized DISTINCT (U, Z) inputs. Stacked real inputs (not
-    per-rep perturbation arithmetic) so (a) XLA cannot hoist the kernel
-    out of the loop or fuse input math into its dot while the opaque
-    custom call can't, and (b) the consumer is sum(abs(·)), which XLA's
-    algebraic simplifier cannot collapse the way it rewrites
-    sum(dot(A,B)) into dots of reduced operands — both failure modes
-    observed with earlier harnesses (see git history of this file)."""
-    key = jax.random.PRNGKey(0)
-    Us = jax.random.normal(key, (K, N, R), jnp.float32) / jnp.sqrt(R)
-    Zs = jax.random.normal(jax.random.fold_in(key, 1), (K, N, L),
-                           jnp.float32)
-
-    @jax.jit
-    def run(Us, Zs):
-        def body(c, uz):
-            G, UtZ, zn = ops.factor_prep(uz[0], uz[1], impl=impl)
-            return (c + jnp.sum(jnp.abs(G)) + jnp.sum(jnp.abs(UtZ))
-                    + jnp.sum(jnp.abs(zn))), None
-
-        return jax.lax.scan(body, 0.0, (Us, Zs))[0]
-
-    # compile WITHOUT executing (AOT): the traced call below is then the
-    # first real execution — a prior identical call could be served from
-    # the relay's memo and leave the trace empty
-    run.lower(Us, Zs).compile()
+def _dev_us_per_dispatch(f, pairs) -> float:
+    jax.block_until_ready(pairs)
     with tempfile.TemporaryDirectory() as d:
         with jax.profiler.trace(d):
-            float(run(Us, Zs))
+            outs = [f(U, Z) for U, Z in pairs]
+            jax.block_until_ready(outs)
         paths = glob.glob(os.path.join(d, "**", "*.trace.json.gz"),
                           recursive=True)
         s = summarize_trace(paths[0])
-    return s["device_time_per_dispatch_s"] / K
+    return s["device_time_per_dispatch_s"] * 1e6
 
 
 def main():
-    for N in (5700, 65550):
-        for R in (56, 256, 512, 1024):
-            K = max(4, min(16, (1 << 31) // (N * R * 4)))  # ≤~2 GB stack
-            row = {"N": N, "R": R, "L": L, "reps": K}
-            for impl in ("xla", "pallas"):
-                t = _program_device_s(impl, N, R, K)
-                row[f"{impl}_us"] = round(t * 1e6, 1)
+    key = jax.random.PRNGKey(0)
+    rs = tuple(int(a) for a in sys.argv[1:]) or (56, 128, 256, 512, 1024)
+    for R in rs:
+        M = 24 if R <= 256 else 12
+        n = N // 2 if R >= 1024 else N  # keep the buffer pool under ~8 GB HBM
+        pairs = [
+            (jax.random.normal(jax.random.fold_in(key, R * 100 + m),
+                               (n, R), jnp.float32),
+             jax.random.normal(jax.random.fold_in(key, R * 100 + m + 50),
+                               (n, L), jnp.float32))
+            for m in range(M)
+        ]
+        for regime in ("resident", "produced"):
+            row = {"N": n, "R": R, "L": L, "regime": regime, "reps": M}
+            impls = {
+                "xla": lambda U, Z: ops.factor_prep(U, Z, impl="xla"),
+                "pallas": _pallas_raw,
+            }
+            for impl, base in impls.items():
+                if regime == "resident":
+                    f = jax.jit(base)
+                else:
+                    f = jax.jit(lambda U, Z, base=base: base(U * 1.0001, Z))
+                f.lower(*pairs[0]).compile()
+                row[f"{impl}_us"] = round(_dev_us_per_dispatch(f, pairs), 1)
             row["speedup"] = round(
                 row["xla_us"] / max(row["pallas_us"], 1e-9), 2)
             print(json.dumps(row), flush=True)
