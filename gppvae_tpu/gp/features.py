@@ -21,6 +21,47 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# above this row count the one-hot backward's (n, P) matrix stops being a
+# good trade against XLA's scatter — fall back to the plain gather. Measured
+# on the v5e (headline joint config, same minute): one-hot for BOTH gathers
+# (P=400 objects + Q=16 views) regressed the epoch ~4% — the (n, 400)
+# one-hot build + an 8-lane (400,8) output dot cost more than the scatter
+# it replaced; only the small-table gather (the view features, whose (16,7)
+# dW scatter was trace_r3b's fusion.1167 at 4.4%) is a win.
+_ONEHOT_BWD_MAX_ROWS = 64
+
+
+@jax.custom_vjp
+def _take_rows_onehot(A: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(A, idx, axis=0)
+
+
+def _take_rows_fwd(A, idx):
+    return jnp.take(A, idx, axis=0), (idx, A.shape[0])
+
+
+def _take_rows_bwd(res, ct):
+    idx, P = res
+    # dA via a one-hot matmul instead of the gather's default scatter-add
+    # transpose: XLA lowers the scatter as a slow kCustom per-step fusion
+    # (trace_r3b fusion.1167, 4.4% of device time); the (P, n)·(n, M) dot
+    # rides the MXU. Same values up to summation order over duplicate ids.
+    dA = jax.nn.one_hot(idx, P, dtype=ct.dtype).T @ ct
+    return dA, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_take_rows_onehot.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def take_rows(A: jax.Array, idx: jax.Array) -> jax.Array:
+    """A[idx] with a matmul-transpose backward (see _take_rows_bwd); the
+    forward gather is unchanged (bit-identical). Falls back to the plain
+    gather — scatter-add backward — above _ONEHOT_BWD_MAX_ROWS rows."""
+    if A.shape[0] > _ONEHOT_BWD_MAX_ROWS:
+        return jnp.take(A, idx, axis=0)
+    return _take_rows_onehot(A, idx)
 
 
 def normalize_rows(X: jax.Array, eps: float = 1e-8) -> jax.Array:
@@ -185,9 +226,9 @@ def build_effect_rows(
     ]
     for e in extra_effects:
         if e == "object":
-            effects.append(normalize_rows(X)[object_ids])
+            effects.append(take_rows(normalize_rows(X), object_ids))
         elif e == "view":
-            effects.append(normalize_rows(W)[view_ids])
+            effects.append(take_rows(normalize_rows(W), view_ids))
         else:
             raise ValueError(
                 f"unknown extra effect {e!r}; want 'object' or 'view'"
@@ -221,4 +262,4 @@ def build_V(
         W = normalize_rows(W)
     if x_map is not None:
         X = x_map(X)
-    return kron_rows(X[object_ids], W[view_ids])
+    return kron_rows(take_rows(X, object_ids), take_rows(W, view_ids))

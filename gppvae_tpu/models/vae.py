@@ -152,6 +152,12 @@ def _subpixel_upconv(conv: nn.Conv, x: jax.Array) -> jax.Array:
         # input-dilated conv — XLA's native backprop-conv path, no
         # depth-to-space interleave at all. Per-axis tap map T[k,p] =
         # [p - t = k - 1 for t∈{0,1}] (same merge algebra as _PHASE_TAPS).
+        # NEGATIVE RESULT (keep the einsum): rewriting this tap merge as a
+        # constant kron(T,T) (16,9) matmul over flattened taps measured 6%
+        # SLOWER end-to-end (0.0167 → 0.0177 same-minute A/B) — XLA fuses
+        # the einsum's transpose INTO the weight-gradient conv (dw3 comes
+        # out directly, trace_r3b fusion.1180), and the matmul form broke
+        # that fusion, materializing dK4 (4,4,cin,f) separately every step.
         T = jnp.asarray(
             [[1.0, 0, 0], [1, 1, 0], [0, 1, 1], [0, 0, 1]], w3.dtype
         )  # (4, 3)
@@ -247,6 +253,16 @@ class ConvDecoder(nn.Module):
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
                 h = nn.elu(conv(h))
+        # NOTE on the cout=C logit conv: at C=1 XLA:TPU lowers it through a
+        # VPU multiply-reduce emitter (EmitInputBatchInLanes) fused with the
+        # whole recon-loss chain — ~18% of device time fwd+bwd at ~2% of
+        # FLOPs (trace_r3c). Two exact rewrites were measured SLOWER
+        # (same-minute A/Bs, BASELINE.md round-3 second pass): zero-padding
+        # the kernel to 8 output channels + slice (0.0160 → 0.0165 — the
+        # slice breaks the loss-chain fusion and materializes 8× output),
+        # and flattening the loss math to (bs, D) (XLA reshape-motion
+        # canonicalizes it back — identical program fingerprint). The fused
+        # VPU chain is the better trade at these shapes; leave it alone.
         logits = nn.Conv(C, (3, 3), padding="SAME", dtype=self.dtype)(h)
         return logits.astype(jnp.float32)
 

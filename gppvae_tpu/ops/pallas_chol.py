@@ -28,7 +28,10 @@ with M = B⁻¹UtZ and T = tr(UtZᵀ M) (note quad = (zn − T/v_n)/v_n and
     ∂nll/∂v_n = ½[ L(N/v_n − tr(B⁻¹G)/v_n²) − zn/v_n² + 2T/v_n³
                    − tr(G M Mᵀ)/v_n⁴ ]
 
-computed with one R×R Cholesky on the XLA side (R-sized — negligible).
+computed from the forward kernel's own residuals: the kernel also emits
+X = L_B⁻¹ and W = L_B⁻¹UtZ, so M = XᵀW and B⁻¹ = XᵀX are two dense dots —
+no XLA cholesky/trisolve custom calls in the backward at all (they were a
+serial per-epoch chain worth ~7% of device time, trace_r3b).
 Every formula is validated against autodiff of the pure-jnp core in
 tests/test_pallas_ops.py.
 """
@@ -65,8 +68,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _nll_core_kernel(g_ref, utz_ref, scal_ref, nll_ref, l_scratch, w_scratch):
-    """scal_ref (SMEM, (4,)): [zn, v_n, N, L_true]."""
+def _nll_core_kernel(g_ref, utz_ref, scal_ref, nll_ref, x_ref, w_ref,
+                     l_scratch):
+    """scal_ref (SMEM, (4,)): [zn, v_n, N, L_true].
+
+    Besides the NLL scalar the kernel emits W = L_B⁻¹ UtZ (already computed
+    for the quadratic form) and X = L_B⁻¹ (one extra forward substitution):
+    they are the backward pass's residuals — M = Xᵀ W and B⁻¹ = Xᵀ X are
+    then two MXU dots, which removed the XLA-side cholesky custom call +
+    two cho_solves (4 serial trisolves) the old backward re-ran per epoch
+    (trace_r3b multiply_reduce_fusion.63's serial Phase-B chain)."""
     Rp = g_ref.shape[0]
     zn, vn, n_rows, l_dims = (
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
@@ -101,22 +112,36 @@ def _nll_core_kernel(g_ref, utz_ref, scal_ref, nll_ref, l_scratch, w_scratch):
 
     logdet = jax.lax.fori_loop(0, Rp, chol_col, jnp.float32(0.0))
 
-    # ---- forward substitution W = L⁻¹ UtZ, row j at a time
-    w_scratch[:] = jnp.zeros_like(w_scratch)
+    # ---- forward substitution W = L⁻¹ UtZ, row j at a time (into the
+    # w_ref output block, VMEM-resident throughout)
+    w_ref[:] = jnp.zeros_like(w_ref)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
 
     def solve_row(j, _):
         ljrow = l_scratch[pl.ds(j, 1), :]  # (1, Rp)
-        acc = jnp.dot(ljrow, w_scratch[:], preferred_element_type=jnp.float32)
+        acc = jnp.dot(ljrow, w_ref[:], preferred_element_type=jnp.float32)
         ljj = jnp.sum(jnp.where(cols == j, ljrow, 0.0))
-        w_scratch[pl.ds(j, 1), :] = (utz_ref[pl.ds(j, 1), :] - acc) / ljj
+        w_ref[pl.ds(j, 1), :] = (utz_ref[pl.ds(j, 1), :] - acc) / ljj
         return 0
 
     jax.lax.fori_loop(0, Rp, solve_row, 0)
 
+    # ---- forward substitution X = L⁻¹ (RHS = I), same recurrence
+    x_ref[:] = jnp.zeros_like(x_ref)
+
+    def solve_row_x(j, _):
+        ljrow = l_scratch[pl.ds(j, 1), :]  # (1, Rp)
+        acc = jnp.dot(ljrow, x_ref[:], preferred_element_type=jnp.float32)
+        ljj = jnp.sum(jnp.where(cols == j, ljrow, 0.0))
+        ej = jnp.where(cols == j, 1.0, 0.0)  # row j of I
+        x_ref[pl.ds(j, 1), :] = (ej - acc) / ljj
+        return 0
+
+    jax.lax.fori_loop(0, Rp, solve_row_x, 0)
+
     # ---- reductions + assembly
-    wn2 = jnp.sum(w_scratch[:] * w_scratch[:])
+    wn2 = jnp.sum(w_ref[:] * w_ref[:])
     quad = (zn - wn2 / vn) / vn
     nll_ref[0, 0] = 0.5 * (
         l_dims * (n_rows * jnp.log(vn) + logdet)
@@ -139,45 +164,50 @@ def _nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims):
         jnp.asarray(n_rows, jnp.float32),
         jnp.asarray(l_dims, jnp.float32),
     ])
-    nll = pl.pallas_call(
+    nll, X, W = pl.pallas_call(
         _nll_core_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, Lp), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((Rp, Rp), jnp.float32),
-            pltpu.VMEM((Rp, Lp), jnp.float32),
         ],
         interpret=_interpret(),
     )(Gp, UtZp, scal)
-    return nll[0, 0]
+    # padded blocks carry an identity tail (X) / zero rows (W): slice the
+    # true factors for the backward residuals
+    return nll[0, 0], X[:R, :R], W[:R, :L]
 
 
 # ------------------------------------------------------------------ VJP
 
 
-def _nll_bwd_quantities(G, UtZ, vn):
-    R = G.shape[0]
-    B = jnp.eye(R, dtype=G.dtype) + G / vn
-    Lb = jax.lax.linalg.cholesky(B)
-    M = jax.scipy.linalg.cho_solve((Lb, True), UtZ)  # B⁻¹ UtZ
-    Binv = jax.scipy.linalg.cho_solve((Lb, True), jnp.eye(R, dtype=G.dtype))
-    return B, M, Binv
-
-
 def _core_fwd(G, UtZ, zn, vn, n_rows, l_dims):
-    return _nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims), (G, UtZ, zn, vn)
+    nll, X, W = _nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims)
+    return nll, (G, UtZ, zn, vn, X, W)
 
 
 def _core_bwd(n_rows, l_dims, res, ct):
-    G, UtZ, zn, vn = res
+    # X = L_B⁻¹ and W = L_B⁻¹UtZ ride out of the forward kernel, so the
+    # Woodbury backward quantities are two dense dots (MXU) instead of a
+    # serial XLA cholesky + cho_solve chain re-run per epoch:
+    G, UtZ, zn, vn, X, W = res
     n = jnp.asarray(n_rows, G.dtype)
     Ld = jnp.asarray(l_dims, G.dtype)
-    _B, M, Binv = _nll_bwd_quantities(G, UtZ, vn)
+    M = X.T @ W       # B⁻¹ UtZ  (= L⁻ᵀ L⁻¹ UtZ)
+    Binv = X.T @ X    # B⁻¹
     MMt = M @ M.T
     T = jnp.sum(UtZ * M)
     gG = 0.5 * (Ld * Binv / vn + MMt / vn**3)
@@ -195,7 +225,7 @@ def _core_bwd(n_rows, l_dims, res, ct):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims):
     """Fused Woodbury NLL core with hand-derived backward."""
-    return _nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims)
+    return _nll_core_pallas(G, UtZ, zn, vn, n_rows, l_dims)[0]
 
 
 nll_core_pallas.defvjp(_core_fwd, _core_bwd)

@@ -21,7 +21,7 @@ import optax
 
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.models.cvae import CVAE
-from gppvae_tpu.models.vae import encode_all, reparameterize
+from gppvae_tpu.models.vae import encode_all
 from gppvae_tpu.train.batching import (
     epoch_batches,
     epoch_keys,
@@ -119,12 +119,16 @@ def train_cvae(
         def minibatch_step(carry, xs):
             params, opt_state = carry
             pos, w, step_key = xs
+            # noise drawn OUTSIDE the differentiated loss (saved residual
+            # instead of a threefry remat in backward; bit-identical z —
+            # see train_gppvae.minibatch_epoch)
+            eps = jax.random.normal(step_key, (bs, config.zdim), jnp.float32)
 
             def loss_fn(p):
                 y = images_tr[pos]
                 q = q_tr[pos]
                 mu, logvar = model.apply(p, y, q, method=CVAE.encode)
-                z = reparameterize(step_key, mu, logvar)
+                z = mu + jnp.exp(0.5 * logvar) * eps  # == reparameterize
                 logits = model.apply(p, z, q, method=CVAE.decode)
                 recon, mse = gaussian_recon_nll(
                     y, jax.nn.sigmoid(logits), config.sigma_y

@@ -59,7 +59,7 @@ from gppvae_tpu.checkpoint import load_pytree, load_vae_weights, save_pytree
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
-from gppvae_tpu.models import VAE, encode_all, reparameterize
+from gppvae_tpu.models import VAE, encode_all
 from gppvae_tpu.parallel import (
     replicated,
     row_sharding,
@@ -224,14 +224,23 @@ def _init_view_features(config: GPPVAETrainConfig, dataset: GridDataset):
     return gp.normalize_rows(W)
 
 
-def skip_nonfinite(opt: "optax.GradientTransformation"):
-    """Skip-step guard without lax.cond: when any gradient entry is
-    nonfinite, emit zero updates and keep the inner optimizer state
-    untouched — the exact semantics of optax.apply_if_finite, but
-    implemented with jnp.where selects. apply_if_finite's lax.cond around
-    the whole Adam update measured 12.7% of device time in the round-3
-    trace (demo/trace_r3 conditional.20/.21: the cond blocks fusion of the
-    update chain); the select form costs one isfinite pass and fuses.
+def spike_guard(opt: "optax.GradientTransformation", clip_grad_norm: float = 0.0):
+    """Fused gradient-spike guard: ONE sum-of-squares pass over the
+    gradients yields BOTH the global-norm clip scale and the nonfinite
+    skip decision.
+
+    Semantics (selects, no lax.cond — apply_if_finite's cond measured
+    12.7% of device time in demo/trace_r3 by blocking fusion of the Adam
+    chain): when the gradient sum-of-squares is nonfinite, emit zero
+    updates and keep the inner optimizer state untouched; otherwise clip
+    exactly like optax.clip_by_global_norm (bit-exact pass-through below
+    the threshold, (g/‖g‖)·c above it). Deriving `finite` from the clip's
+    own Σg² (nonfinite entries make Σg² inf/nan) removes the separate
+    per-leaf reduce_and pass, which cost 5.7% of device time as its own
+    badly-tiled per-step fusion (trace_r3b fusion.1179). Only divergence
+    from the two-pass form: a FINITE gradient whose square overflows f32
+    (|g| ≳ 2e19) now skips the step instead of clipping — strictly safer
+    for the ν-poisoning hazard the guard exists for (see make_optimizer).
     State: {'inner': …, 'notfinite_count': int32 total skipped steps}."""
 
     def init(params):
@@ -239,9 +248,23 @@ def skip_nonfinite(opt: "optax.GradientTransformation"):
                 "notfinite_count": jnp.zeros((), jnp.int32)}
 
     def update(grads, state, params=None):
-        finite = jnp.array(True)
+        sumsq = jnp.zeros((), jnp.float32)
         for g in jax.tree.leaves(grads):
-            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+            sumsq = sumsq + jnp.sum(jnp.square(g))
+        finite = jnp.isfinite(sumsq)
+        if clip_grad_norm and clip_grad_norm > 0:
+            # identical arithmetic to optax.clip_by_global_norm: norm from
+            # the SAME leaf-order Σg², exact pass-through below threshold
+            norm = jnp.sqrt(sumsq)
+            below = norm < clip_grad_norm
+            grads = jax.tree.map(
+                # per-leaf dtype cast exactly like optax.clip_by_global_norm
+                # (a promoted norm would silently upcast every leaf in x64)
+                lambda g: jnp.where(
+                    below, g, (g / norm.astype(g.dtype)) * clip_grad_norm
+                ),
+                grads,
+            )
         updates, new_inner = opt.update(grads, state["inner"], params)
         updates = jax.tree.map(
             lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
@@ -261,7 +284,7 @@ def skip_nonfinite(opt: "optax.GradientTransformation"):
 def make_optimizer(lr: float, clip_grad_norm: float = 1e5,
                    grad_accum_steps: int = 1):
     """Adam guarded against gradient spikes: global-norm clip + a
-    nonfinite-gradient skip (skip_nonfinite above).
+    nonfinite-gradient skip, fused into one reduction pass (spike_guard).
 
     Root-caused in round 3 (BASELINE.md "polish soak"): at epoch ~880 of
     the 2000-epoch bf16 learn_sigma_y soak a FINITE gradient spike of
@@ -276,12 +299,10 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5,
     steps. clip_grad_norm <= 0 disables the clip.
 
     NOTE: wrapping changes the optimizer-state pytree, so full-state
-    checkpoints written before round 3 are not loadable (same policy as the
-    round-1 log_vs format change — interim formats, never released)."""
-    opt = optax.adam(lr)
-    if clip_grad_norm and clip_grad_norm > 0:
-        opt = optax.chain(optax.clip_by_global_norm(clip_grad_norm), opt)
-    opt = skip_nonfinite(opt)
+    checkpoints written before the fused guard landed are not loadable
+    (same policy as the round-1 log_vs format change — interim formats,
+    never released)."""
+    opt = spike_guard(optax.adam(lr), clip_grad_norm)
     if grad_accum_steps > 1:
         # gradient accumulation (optax.MultiSteps): one Adam step per k
         # minibatches on the averaged gradient. The large-N stabilizer:
@@ -404,6 +425,15 @@ class _Loop:
           def minibatch_step(carry, xs):
             params, ov_state, og_state = carry
             pos, w, step_key = xs  # positions into the train arrays + mask
+            # Draw the reparameterization noise OUTSIDE the differentiated
+            # loss: with ε inside, XLA rematerializes the threefry hash in
+            # the BACKWARD pass (trace_r3b fusion.1192's xor/shift-right
+            # operands — part of its 10% share); pre-drawn, it is an 8 KB
+            # saved residual instead. Same key, shape and dtype as
+            # reparameterize(step_key, mu, logvar) → bit-identical z.
+            eps = jax.random.normal(
+                step_key, (bs, config.zdim), jnp.float32
+            )
 
             def loss_fn(p):
                 sy = (
@@ -418,7 +448,7 @@ class _Loop:
                     # DP: split the gathered batch rows across the mesh
                     y = jax.lax.with_sharding_constraint(y, batch_sharding)
                 mu, logvar = model.apply(p["vae"], y, method=VAE.encode)
-                z = reparameterize(step_key, mu, logvar)
+                z = mu + jnp.exp(0.5 * logvar) * eps  # == reparameterize
                 logits = model.apply(p["vae"], z, method=VAE.decode)
                 recon, mse = gaussian_recon_nll(y, jax.nn.sigmoid(logits), sy)
                 if config.sat_penalty > 0:

@@ -108,6 +108,11 @@ def make_epochs_fn(
         def minibatch_step(carry, xs):
             params, opt_state = carry
             batch_idx, w, step_key = xs
+            # noise drawn OUTSIDE the differentiated loss so the backward
+            # pass reuses the saved ε instead of rematerializing threefry
+            # (same key/shape/dtype as reparameterize → bit-identical z;
+            # see train_gppvae.minibatch_epoch for the trace evidence)
+            eps = jax.random.normal(step_key, (bs, config.zdim), jnp.float32)
 
             def loss_fn(p):
                 y = images[batch_idx]
@@ -116,7 +121,9 @@ def make_epochs_fn(
                 if batch_sharding is not None:
                     # DP: shard the gathered batch rows across the mesh
                     y = jax.lax.with_sharding_constraint(y, batch_sharding)
-                logits, mu, logvar, _ = model.apply(p, y, step_key)
+                mu, logvar = model.apply(p, y, method=VAE.encode)
+                z = mu + jnp.exp(0.5 * logvar) * eps  # == reparameterize
+                logits = model.apply(p, z, method=VAE.decode)
                 recon, mse = gaussian_recon_nll(
                     y, jax.nn.sigmoid(logits), config.sigma_y
                 )

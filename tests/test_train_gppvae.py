@@ -336,3 +336,78 @@ def test_flat_image_storage_matches_nhwc(small_ds, pretrained_vae):
             rtol=1e-6, atol=1e-8,
             err_msg=f"flat-vs-NHWC trajectory mismatch on {key!r}",
         )
+
+
+def test_spike_guard_semantics():
+    """The fused Σg² guard (train_gppvae.spike_guard) must (a) be bit-exact
+    vs optax clip+adam on healthy gradients, (b) clip exactly like
+    optax.clip_by_global_norm above the threshold, and (c) skip the step —
+    zero updates, inner state untouched, counter bumped — on nonfinite
+    gradients. One reduction pass replaces the old clip-norm + reduce_and
+    pair (round-3 second pass, BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gppvae_tpu.train.train_gppvae import spike_guard
+
+    params = {"a": jnp.arange(6.0, dtype=jnp.float32).reshape(2, 3),
+              "b": jnp.ones((4,), jnp.float32)}
+    healthy = jax.tree.map(lambda p: 0.01 * (p + 1.0), params)
+    clip = 1.0
+
+    guarded = spike_guard(optax.adam(1e-3), clip)
+    reference = optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3))
+
+    gs, rs = guarded.init(params), reference.init(params)
+    for _ in range(3):
+        gu, gs = guarded.update(healthy, gs, params)
+        ru, rs = reference.update(healthy, rs, params)
+        for a, b in zip(jax.tree.leaves(gu), jax.tree.leaves(ru)):
+            np.testing.assert_array_equal(a, b)  # bit-exact below threshold
+    assert int(gs["notfinite_count"]) == 0
+
+    # (b) clipping arm: huge finite gradient → same values as optax's clip
+    spiky = jax.tree.map(lambda p: 1e6 * (p + 1.0), params)
+    gu, gs2 = guarded.update(spiky, gs, params)
+    ru, _ = reference.update(spiky, rs, params)
+    for a, b in zip(jax.tree.leaves(gu), jax.tree.leaves(ru)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert int(gs2["notfinite_count"]) == 0
+
+    # (c) nonfinite gradient → zero updates, inner state untouched, count+1
+    bad = jax.tree.map(lambda g: g.at[0].set(jnp.nan), healthy)
+    gu, gs3 = guarded.update(bad, gs2, params)
+    assert all(not np.any(np.asarray(u)) for u in jax.tree.leaves(gu))
+    for a, b in zip(jax.tree.leaves(gs3["inner"]), jax.tree.leaves(gs2["inner"])):
+        np.testing.assert_array_equal(a, b)
+    assert int(gs3["notfinite_count"]) == 1
+
+
+def test_take_rows_onehot_backward_matches_gather():
+    """take_rows: forward bit-identical to A[idx]; backward (one-hot matmul
+    for small tables) matches the gather's scatter-add transpose, including
+    duplicate indices accumulating."""
+    import jax
+    import jax.numpy as jnp
+
+    from gppvae_tpu.gp.features import _ONEHOT_BWD_MAX_ROWS, take_rows
+
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (12, 5), jnp.float32)  # below threshold
+    idx = jnp.asarray([0, 3, 3, 7, 11, 3], jnp.int32)  # duplicates
+    ct = jax.random.normal(jax.random.fold_in(key, 1), (6, 5), jnp.float32)
+
+    np.testing.assert_array_equal(take_rows(A, idx), A[idx])
+
+    f_new = lambda A: jnp.sum(take_rows(A, idx) * ct)
+    f_ref = lambda A: jnp.sum(A[idx] * ct)
+    np.testing.assert_allclose(
+        jax.grad(f_new)(A), jax.grad(f_ref)(A), rtol=1e-6, atol=1e-7
+    )
+
+    # large tables fall back to the plain gather (scatter backward)
+    B = jax.random.normal(key, (_ONEHOT_BWD_MAX_ROWS + 1, 5), jnp.float32)
+    g_new = jax.grad(lambda M: jnp.sum(take_rows(M, idx) * ct))(B)
+    g_ref = jax.grad(lambda M: jnp.sum(M[idx] * ct))(B)
+    np.testing.assert_array_equal(g_new, g_ref)

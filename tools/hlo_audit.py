@@ -82,13 +82,12 @@ def compile_fused(dtype: str, upsample: str, epd: int, bs: int,
                   num_objects: int = 400, num_views: int = 16):
     """Compile the exact benchmark fused program; returns (compiled, meta)."""
     import jax
-    import optax
 
     from gppvae_tpu import ops
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train.batching import epoch_keys
     from gppvae_tpu.train.train_gppvae import (
-        GPPVAETrainConfig, _Loop, _setup,
+        GPPVAETrainConfig, _Loop, _setup, make_optimizer,
     )
 
     ds = build_rotated_digits(
@@ -105,8 +104,10 @@ def compile_fused(dtype: str, upsample: str, epd: int, bs: int,
         model, params, fixed_W, a, rng, num_train = _setup(
             ds, config, None, None
         )
-        opt_vae = optax.adam(config.lr_vae)
-        opt_gp = optax.adam(config.lr_gp)
+        # the trainer's REAL guarded optimizers (spike_guard), so the audited
+        # HLO is the shipped program, not an unguarded approximation
+        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm)
+        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm)
         loop = _Loop(model, opt_vae, opt_gp, config, num_train, None)
         compiled = loop.make_fused_fn(epd).lower(
             params, opt_vae.init(params["vae"]), opt_gp.init(params["gp"]),
