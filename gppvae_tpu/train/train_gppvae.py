@@ -295,8 +295,8 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5,
     round 2 misread as a "bf16 precision plateau". The clip caps the spike
     so ν stays sane; it multiplies by exactly 1.0 whenever the global norm
     is below clip_grad_norm, so healthy trajectories (goldens included) are
-    bit-unchanged. skip_nonfinite additionally skips fully nonfinite
-    steps. clip_grad_norm <= 0 disables the clip.
+    bit-unchanged. spike_guard's select-based skip additionally zeroes the
+    step on nonfinite gradients. clip_grad_norm <= 0 disables the clip.
 
     NOTE: wrapping changes the optimizer-state pytree, so full-state
     checkpoints written before the fused guard landed are not loadable
