@@ -13,6 +13,11 @@ Extras beyond the reference:
                   its training views (panel: truth row / prediction row)
     --sample K    unconditional generation: decode K latent rows drawn from
                   the learned GP prior z ~ N(0, K) (uses U·ε + √v_n·ε)
+    --posterior_sample K --object D --view V
+                  conditional UNCERTAINTY rendering: decode K draws from the
+                  GP-predictive posterior N(μ*, σ*² I) of one grid cell —
+                  tight posteriors give near-identical samples, extrapolated
+                  cells visibly vary (gp.predict_latents return_var)
 """
 
 from __future__ import annotations
@@ -201,6 +206,81 @@ def sample_prior(
     return np.asarray(jax.nn.sigmoid(logits))
 
 
+def sample_posterior(
+    state: dict,
+    dataset: GridDataset,
+    object_id: int,
+    view_id: int,
+    num_samples: int,
+    *,
+    zdim: int,
+    enc_features=(32, 64, 128),
+    dec_features=(128, 64, 32),
+    object_kernel: str = "linear",
+    rff_features: int = 32,
+    rff_lengthscale: float = 1.0,
+    extra_effects: tuple = (),
+    seed: int = 0,
+) -> tuple[np.ndarray, float]:
+    """Posterior SAMPLING for one (object, view) cell: decode K draws
+    z* ~ N(μ*, σ*² I_L) from the GP-predictive posterior (mean AND variance
+    — gp.predict_latents return_var; the variance is shared across the L
+    iid latent dims). Where generate_heldout decodes only the posterior
+    mean, this renders the model's calibrated uncertainty as image
+    diversity: tight posteriors (object seen from nearby views) give
+    near-identical samples, extrapolated cells visibly vary.
+
+    Returns (images (K, H, W, C), posterior variance σ*²)."""
+    params = state["params"]
+    fixed_W = state.get("fixed_W")
+    if not 0 <= object_id < dataset.num_objects:
+        raise ValueError(
+            f"object {object_id} out of range [0, {dataset.num_objects})"
+        )
+    if not 0 <= view_id < dataset.num_views:
+        raise ValueError(f"view {view_id} out of range [0, {dataset.num_views})")
+    model, x_map = _model_and_xmap(
+        state, dataset, zdim=zdim, enc_features=enc_features,
+        dec_features=dec_features, object_kernel=object_kernel,
+        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
+    )
+    tr = dataset.train_idx
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+    v_sig, v_noise = gp.variances_from_log(
+        params["gp"]["log_vs"], params["gp"]["log_vn"]
+    )
+    v_sig = jnp.reshape(v_sig, (-1,))
+    d_star = jnp.asarray([object_id], jnp.int32)
+    q_star = jnp.asarray([view_id], jnp.int32)
+
+    @jax.jit
+    def run(params, fixed_W):
+        Z0 = encode_all(model, params["vae"], images_tr, min(1024, len(tr)))
+        Wp = params["gp"].get("W", fixed_W)
+        V_tr = gp.build_effect_rows(params["gp"]["X"], Wp, d_tr, q_tr,
+                                    extra_effects=tuple(extra_effects),
+                                    x_map=x_map)
+        V_star = gp.build_effect_rows(params["gp"]["X"], Wp, d_star, q_star,
+                                      extra_effects=tuple(extra_effects),
+                                      x_map=x_map)
+        v_sigs = [v_sig[i] for i in range(len(V_tr))]
+        factors = gp.factorize(V_tr, v_sigs, v_noise)
+        mean, var = gp.predict_latents(
+            V_star, factors, Z0, v_sigs, return_var=True
+        )
+        eps = jax.random.normal(
+            jax.random.PRNGKey(seed), (num_samples, mean.shape[1])
+        )
+        z = mean + jnp.sqrt(jnp.maximum(var[:, None], 0.0)) * eps
+        logits = model.apply(params["vae"], z, method=VAE.decode)
+        return jax.nn.sigmoid(logits), var[0]
+
+    y_s, var = run(params, fixed_W)
+    return np.asarray(y_s), float(var)
+
+
 def main(argv=None):
     import argparse
 
@@ -219,6 +299,12 @@ def main(argv=None):
                    help="synthesize ALL views of this object id")
     p.add_argument("--sample", type=int, default=0,
                    help="decode N draws from the learned GP prior")
+    p.add_argument("--posterior_sample", type=int, default=0,
+                   help="with --object/--view: decode N draws from the "
+                        "GP-predictive POSTERIOR of that cell (mean ± "
+                        "calibrated σ*, rendered as image diversity)")
+    p.add_argument("--view", type=int, default=0,
+                   help="view id for --posterior_sample (default 0)")
     p.add_argument("--export_server", default=None, metavar="PATH",
                    help="fold the GP posterior into an R-sized server state "
                         "(eval/serving.py) and save the deployment artifact")
@@ -285,6 +371,25 @@ def main(argv=None):
         print(json.dumps({
             "server_state": os.path.abspath(args.export_server),
             "rank": int(srv.core.M.shape[0]), "zdim": int(srv.core.M.shape[1]),
+        }))
+        return
+    if args.posterior_sample:
+        if args.object is None:
+            raise SystemExit("--posterior_sample needs --object (and --view)")
+        y_s, var = sample_posterior(
+            state, ds, args.object, args.view, args.posterior_sample, **arch
+        )
+        cell = np.where(
+            (ds.object_ids == args.object) & (ds.view_ids == args.view)
+        )[0]
+        path = os.path.join(
+            outdir, f"posterior_obj{args.object}_view{args.view}.png"
+        )
+        rows = ([ds.images[cell[:1]]] if len(cell) else []) + [y_s]
+        save_panel(path, rows)
+        print(json.dumps({
+            "posterior_panel": path, "object": args.object, "view": args.view,
+            "n": int(args.posterior_sample), "posterior_var": var,
         }))
         return
     if args.object is not None:

@@ -112,6 +112,14 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     assert rec["n"] == 6
     assert (tmp_path / "run" / "prior_samples.png").exists()
 
+    # posterior sampling: K decoded draws from N(μ*, σ*²) of one cell, with
+    # a finite positive predictive variance reported
+    main([*common, "--posterior_sample", "5", "--object", "3", "--view", "2"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n"] == 5 and rec["object"] == 3 and rec["view"] == 2
+    assert np.isfinite(rec["posterior_var"]) and rec["posterior_var"] > 0
+    assert (tmp_path / "run" / "posterior_obj3_view2.png").exists()
+
 
 def test_generate_cli_defaults_dataset_from_sidecar(tmp_path, capsys):
     """A run trained with a non-default seed evaluated WITHOUT dataset flags
