@@ -21,3 +21,32 @@ Layers (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compilation cache (GPPVAE_COMPILE_CACHE=<dir>).
+
+    A cold multi-program pipeline (pretrain → GPPVAE → eval) spends minutes
+    in compiles on a fresh interpreter (~30-60 s per program through the
+    remote-TPU relay, CLAUDE.md); with the cache, repeat invocations of the
+    same CLI configs reload serialized executables instead. Off by default:
+    mutating global jax config at import time is only acceptable when the
+    user explicitly asked via the env var. Harmless where a backend cannot
+    serialize executables (cache simply misses).
+    GPPVAE_COMPILE_CACHE_MIN_SECS overrides the min-compile-time admission
+    threshold (default 1.0 s — skip caching trivial programs)."""
+    import os
+
+    cache = os.environ.get("GPPVAE_COMPILE_CACHE")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("GPPVAE_COMPILE_CACHE_MIN_SECS", "1.0")),
+    )
+
+
+_maybe_enable_compile_cache()
