@@ -11,6 +11,7 @@ from gppvae_tpu.eval.serving import (
     build_server_state,
     load_server_state,
     predict_images,
+    sample_images,
     save_server_state,
     x_map_from_meta,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "build_server_state",
     "load_server_state",
     "predict_images",
+    "sample_images",
     "save_server_state",
     "x_map_from_meta",
 ]

@@ -125,6 +125,43 @@ def predict_images(
     return (y, var) if return_var else y
 
 
+def sample_images(
+    model,
+    state: ServerState,
+    d: jax.Array,
+    q: jax.Array,
+    key: jax.Array,
+    num_samples: int,
+    *,
+    x_map=None,
+    extra_effects: tuple = (),
+):
+    """Posterior SAMPLING at serve time: K decoded draws per requested
+    (object, view) row from N(μ*, σ*² I_L), using the folded core's mean
+    AND variance (the serving counterpart of the generate CLI's
+    --posterior_sample). Returns (n, K, H, W, C) — per-request uncertainty
+    rendered as image diversity, still O(R) GP work + K decoder forwards
+    per row and N-independent."""
+    V_star = gp.build_effect_rows(state.X, state.W, d, q,
+                                  extra_effects=extra_effects, x_map=x_map)
+    if len(V_star) != state.v_sig.shape[0]:
+        raise ValueError(
+            f"extra_effects={extra_effects!r} builds {len(V_star)} effect(s) "
+            f"but the server state carries {state.v_sig.shape[0]} variance(s); "
+            "pass the extra_effects recorded in the artifact's meta"
+        )
+    v_sigs = [state.v_sig[i] for i in range(len(V_star))]
+    mean, var = gp.predict_from_core(V_star, state.core, v_sigs,
+                                     return_var=True)
+    n, L = mean.shape
+    eps = jax.random.normal(key, (n, num_samples, L), mean.dtype)
+    z = mean[:, None, :] + jnp.sqrt(jnp.maximum(var, 0.0))[:, None, None] * eps
+    logits = model.apply(state.vae_params, z.reshape(n * num_samples, L),
+                         method=VAE.decode)
+    y = jax.nn.sigmoid(logits)
+    return y.reshape(n, num_samples, *y.shape[1:])
+
+
 def save_server_state(
     path: str, state: ServerState, meta: dict | None = None,
     nystrom_idx=None,

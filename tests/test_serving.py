@@ -252,3 +252,33 @@ def test_serving_jit_stable_shapes(trained):
     y1 = served(state, d, q)
     y2 = served(state, d + 1, q)  # same shapes → cached program
     assert y1.shape == y2.shape == (4, *ds.image_shape)
+
+
+def test_serving_posterior_sampling(trained):
+    """sample_images: K decoded draws per request row from N(μ*, σ*²) —
+    deterministic under a fixed key, diverse across draws (σ*² > 0 for
+    held-out cells), and centered on the mean prediction in latent space
+    (the K-average latent ≈ μ* by CLT; images only sanity-checked)."""
+    from gppvae_tpu.eval import sample_images
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    key = jax.random.PRNGKey(0)
+    y = sample_images(res.model, state, d_ho[:3], q_ho[:3], key, 5)
+    assert y.shape == (3, 5, *ds.image_shape)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # deterministic under the key; diverse across the K draws
+    y2 = sample_images(res.model, state, d_ho[:3], q_ho[:3], key, 5)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    spread = float(np.max(np.std(np.asarray(y), axis=1)))
+    assert spread > 1e-4, "posterior draws should differ for held-out cells"
+    # the mean prediction is the K→∞ latent center: with a modest K the
+    # sample-mean image should already be closer to the mean-decode than
+    # any single draw is on average
+    y_mean = predict_images(res.model, state, d_ho[:3], q_ho[:3])
+    err_mean = float(np.mean(np.square(np.asarray(y).mean(axis=1) - np.asarray(y_mean))))
+    err_single = float(np.mean(np.square(np.asarray(y) - np.asarray(y_mean)[:, None])))
+    assert err_mean < err_single
