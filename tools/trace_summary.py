@@ -169,6 +169,46 @@ def slice_dispatch(trace_path: str, window: tuple[float, float], out_path: str):
         json.dump({"traceEvents": keep, "displayTimeUnit": "ns"}, f)
 
 
+def map_top_ops(summary: dict, args) -> dict:
+    """Annotate top_ops with op_name/source metadata from the optimized HLO
+    of the SAME program (round-3 second pass workflow, automated): compile
+    the capture config via hlo_audit.compile_fused (real guarded
+    optimizers — fusion numbering matches the traced program) and look
+    each trace op name up in the HLO text. Names that don't resolve (e.g.
+    a trace from a different config) map to null rather than erroring."""
+    import re as _re
+
+    from hlo_audit import compile_fused
+
+    compiled, _meta = compile_fused(
+        args.dtype, args.upsample, args.epd or 10, 128,
+        num_objects=args.num_objects,
+    )
+    hlo = compiled.as_text()
+    meta_re = _re.compile(
+        r'op_name="([^"]*)"(?:.*?source_file="([^"]*)" source_line=(\d+))?'
+    )
+    mapped = {}
+    for op in summary.get("top_ops_pct", {}):
+        m = _re.search(
+            rf"%{_re.escape(op)} = .*", hlo
+        )
+        if not m:
+            mapped[op] = None
+            continue
+        mm = meta_re.search(m.group(0))
+        if not mm:
+            mapped[op] = {}
+            continue
+        op_name, src, line = mm.groups()
+        # keep the informative tail of the jaxpr path
+        mapped[op] = {
+            "op_name": "/".join(op_name.split("/")[-3:]),
+            "source": f"{src.split('/')[-1]}:{line}" if src else None,
+        }
+    return mapped
+
+
 def capture(args) -> str:
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
@@ -210,6 +250,10 @@ def main():
     p.add_argument("--slice_frac", type=float, default=None,
                    help="fraction of the dispatch window to slice for the "
                         "Perfetto artifact (default 1/epd = one epoch)")
+    p.add_argument("--map_hlo", action="store_true",
+                   help="recompile the capture config and annotate top_ops "
+                        "with their HLO op_name + source file:line "
+                        "(top_ops_source in summary.json)")
     args = p.parse_args()
 
     external = args.trace is not None
@@ -228,6 +272,8 @@ def main():
         summary["config"] = {"source": os.path.abspath(args.trace)}
     else:
         summary["config"] = {"dtype": args.dtype, "upsample": args.upsample}
+    if args.map_hlo:
+        summary["top_ops_source"] = map_top_ops(summary, args)
     os.makedirs(args.out, exist_ok=True)
     # slice a mid-run dispatch (first is the least warm); keep the artifact
     # small by default — one epoch's worth of the window
