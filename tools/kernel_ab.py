@@ -62,7 +62,62 @@ def _dev_us_per_dispatch(f, pairs) -> float:
     return s["device_time_per_dispatch_s"] * 1e6
 
 
+def nll_ab(rs):
+    """A/B the Woodbury NLL core fwd+bwd: pallas (on-chip chol/solve kernel
+    + X-residual backward, two MXU dots) vs xla (plain-jnp autodiff:
+    cholesky + trisolve custom calls re-run in the backward).
+
+        python tools/kernel_ab.py nll [R ...]
+
+    R-sized work is ~µs — far below the relay's ~100 µs window quantization
+    — so each timed dispatch CHAINS K=64 value_and_grad iterations through
+    a data dependency (G += 1e-30·dG) and reports device µs/iteration.
+    Unlike factor_prep, both arms stream only KB-sized operands, so the
+    scan-slice materialization penalty that poisoned custom-call timing on
+    big operands is negligible here."""
+    K = 64
+    for R in rs:
+        k = jax.random.split(jax.random.PRNGKey(R), 2)
+        n_rows = 4096
+        U = jax.random.normal(k[0], (n_rows, R), jnp.float32) * 0.3
+        Z = jax.random.normal(k[1], (n_rows, L), jnp.float32)
+        G0, UtZ0 = U.T @ U, U.T @ Z
+        zn, vn = jnp.sum(Z * Z), jnp.float32(0.7)
+
+        row = {"R": R, "L": L, "n_rows": n_rows, "chain": K}
+        for impl in ("xla", "pallas"):
+            def f(G, UtZ, impl=impl):
+                return ops.woodbury_nll_core(
+                    G, UtZ, zn, vn, n_rows, L, impl=impl
+                )
+
+            def chain(G, UtZ, f=f):
+                def body(carry, _):
+                    G, UtZ = carry
+                    (v, (dG, dUtZ)) = jax.value_and_grad(
+                        f, argnums=(0, 1)
+                    )(G, UtZ)
+                    return (G + 1e-30 * dG, UtZ + 1e-30 * dUtZ), v
+
+                _, vs = jax.lax.scan(body, (G, UtZ), None, length=K)
+                return jnp.sum(vs)
+
+            g = jax.jit(chain)
+            g.lower(G0, UtZ0).compile()
+            us = _dev_us_per_dispatch(
+                lambda G, UtZ: g(G, UtZ), [(G0, UtZ0)] * 8
+            )
+            row[f"{impl}_us_per_iter"] = round(us / K, 1)
+        row["speedup"] = round(
+            row["xla_us_per_iter"] / max(row["pallas_us_per_iter"], 1e-9), 2
+        )
+        print(json.dumps(row), flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "nll":
+        nll_ab(tuple(int(a) for a in sys.argv[2:]) or (56, 128, 256, 512))
+        return
     key = jax.random.PRNGKey(0)
     rs = tuple(int(a) for a in sys.argv[1:]) or (56, 128, 256, 512, 1024)
     for R in rs:
