@@ -33,8 +33,10 @@ _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
 def _shape_bytes(shape_str: str) -> int:
-    """Bytes of an HLO shape string like f32[128,32,32,1]{3,2,1,0}."""
-    m = _SHAPE_RE.match(shape_str)
+    """Bytes of the FIRST shape in an HLO shape string — handles both
+    plain `f32[128,32,32,1]{3,2,1,0}` and the data element of a tuple
+    `(f32[64,64]{1,0}, u32[])` (copy-start results)."""
+    m = _SHAPE_RE.search(shape_str)
     if not m:
         return 0
     dtype, dims = m.groups()
@@ -55,17 +57,14 @@ def audit_hlo_text(hlo: str) -> dict:
     for line in hlo.splitlines():
         s = line.strip()
         # e.g.: %copy.1154 = f32[5700,16]{1,0} copy(%fusion.123)
-        m = re.match(r"%?([\w.-]+) = (\S+) copy(?:-start|-done)?\(", s)
-        if m and " copy(" in s or " copy-start(" in s:
-            m2 = re.match(r"%?([\w.-]+) = (\S+) (copy|copy-start)\(", s)
-            if not m2:
-                continue
+        # or:   %cs.1 = (f32[64,64]{1,0}, u32[]) copy-start(%fusion.3)
+        # tuple shapes contain SPACES, so the shape alternation must admit
+        # a parenthesized group — \S+ alone silently dropped every
+        # copy-start from the byte count (caught by tests/test_tools.py)
+        m2 = re.match(r"%?([\w.-]+) = (\([^)]*\)|\S+) (copy|copy-start)\(", s)
+        if m2:
             name, shape, kind = m2.groups()
-            if shape.startswith("("):  # copy-start tuple shape → inner
-                inner = shape[1:].split(",")[0]
-                b = _shape_bytes(inner)
-            else:
-                b = _shape_bytes(shape)
+            b = _shape_bytes(shape)  # tuple shapes: first (data) element
             key = f"{kind} {shape.split('{')[0]}"
             copies[key] += 1
             copy_bytes[key] += b
