@@ -100,7 +100,19 @@ def make_grid_split(
     rest = np.flatnonzero(~heldout)
     rng.shuffle(rest)
     n_val = int(round(val_fraction * len(rest)))
-    val_idx = np.sort(rest[:n_val]).astype(np.int32)
-    train_idx = np.sort(rest[n_val:]).astype(np.int32)
+    val = np.zeros(n, dtype=bool)
+    val[rest[:n_val]] = True
+    # the guard above promises ≥1 TRAINING view per object, but random val
+    # carving could consume an object's last non-heldout view (e.g. Q=2,
+    # heldout_per_object=1): that object's X row would train with zero
+    # anchoring observations and its heldout prediction silently degrades.
+    # Demote one val row back to train for any such object.
+    for d in range(P):
+        rows = np.arange(d * Q, (d + 1) * Q)
+        trainable = ~heldout[rows]
+        if trainable.any() and val[rows[trainable]].all():
+            val[rows[trainable][0]] = False
+    val_idx = np.sort(np.flatnonzero(val)).astype(np.int32)
+    train_idx = np.sort(np.flatnonzero(~heldout & ~val)).astype(np.int32)
     heldout_idx = np.flatnonzero(heldout).astype(np.int32)
     return train_idx, val_idx, heldout_idx

@@ -117,17 +117,37 @@ def build_faceplace(
     *,
     num_people: int = 64,
     num_poses: int = 9,
-    image_size: int = 64,
+    image_size: int | None = None,
     heldout_per_object: int = 1,
     val_fraction: float = 0.05,
     seed: int = 0,
 ) -> GridDataset:
-    """Build the face-view grid dataset ('synthetic' or 'h5:<path>')."""
+    """Build the face-view grid dataset ('synthetic' or 'h5:<path>').
+
+    image_size: None = the source's native size (64 for synthetic; the
+    file's own resolution for h5). An EXPLICIT size resizes h5 images by
+    nearest-neighbor resampling — previously the parameter was silently
+    dead code on the h5 branch, so a caller sizing a model for 64² could
+    get a 128² pixel grid with no warning."""
     if source == "synthetic":
-        images = synthetic_faces(num_people, num_poses, hw=image_size, seed=seed)
+        images = synthetic_faces(
+            num_people, num_poses, hw=image_size or 64, seed=seed
+        )
         P, Q = num_people, num_poses
     elif source.startswith("h5:"):
         raw, obj, view = _load_h5(source[3:])
+        if image_size is not None and raw.shape[1:3] != (image_size, image_size):
+            # nearest-neighbor resample to the requested square size — no
+            # external deps; the decoder needs H=W divisible by 2^depth
+            ri = np.minimum(
+                np.arange(image_size) * raw.shape[1] // image_size,
+                raw.shape[1] - 1,
+            )
+            ci = np.minimum(
+                np.arange(image_size) * raw.shape[2] // image_size,
+                raw.shape[2] - 1,
+            )
+            raw = raw[:, ri][:, :, ci]
         # re-index to dense ids and keep the complete sub-grid
         uo, obj = np.unique(obj, return_inverse=True)
         uv, view = np.unique(view, return_inverse=True)

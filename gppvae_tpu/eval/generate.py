@@ -385,7 +385,13 @@ def main(argv=None):
         path = os.path.join(
             outdir, f"posterior_obj{args.object}_view{args.view}.png"
         )
-        rows = ([ds.images[cell[:1]]] if len(cell) else []) + [y_s]
+        # save_panel truncates every row to the SHORTEST row — tile the
+        # single truth image across the K sample columns so all K draws
+        # render (a 1-image truth row would silently drop K−1 samples)
+        rows = (
+            [np.repeat(ds.images[cell[:1]], len(y_s), axis=0)]
+            if len(cell) else []
+        ) + [y_s]
         save_panel(path, rows)
         print(json.dumps({
             "posterior_panel": path, "object": args.object, "view": args.view,

@@ -160,3 +160,40 @@ def test_faceplace_h5_drops_incomplete_view_column(tmp_path):
     ds = build_faceplace(f"h5:{path}")
     assert ds.num_objects == P and ds.num_views == Q - 1
     assert ds.images.shape == (P * (Q - 1), S, S, 3)
+
+
+def test_grid_split_never_orphans_an_object():
+    """Random val carving must not consume an object's LAST trainable view
+    (Q=2, heldout=1 leaves one view per object; a 50% val fraction would
+    orphan ~half the objects without the demotion guard)."""
+    from gppvae_tpu.data.dataset import make_grid_split
+
+    P, Q = 6, 2
+    for seed in range(5):
+        train, val, heldout = make_grid_split(
+            P, Q, heldout_per_object=1, val_fraction=0.5, seed=seed
+        )
+        assert len(np.unique(np.concatenate([train, val, heldout]))) == P * Q
+        train_objs = set((train // Q).tolist())
+        assert train_objs == set(range(P)), (
+            f"seed {seed}: objects {set(range(P)) - train_objs} have no "
+            "training rows"
+        )
+
+
+def test_faceplace_h5_explicit_image_size_resizes(tmp_path):
+    import h5py
+
+    P, Q, S = 3, 3, 16
+    rng = np.random.default_rng(0)
+    with h5py.File(tmp_path / "f.h5", "w") as f:
+        f["images"] = (rng.random((P * Q, S, S, 3)) * 255).astype(np.uint8)
+        f["person"] = np.repeat(np.arange(P), Q)
+        f["pose"] = np.tile(np.arange(Q), P)
+    # default: native size preserved (the pinned h5 contract)
+    ds = build_faceplace(f"h5:{tmp_path / 'f.h5'}")
+    assert ds.image_shape == (S, S, 3)
+    # explicit size: nearest-neighbor resample (was silently dead code)
+    ds8 = build_faceplace(f"h5:{tmp_path / 'f.h5'}", image_size=8)
+    assert ds8.image_shape == (8, 8, 3)
+    np.testing.assert_allclose(ds8.images[0, 0, 0], ds.images[0, 0, 0])

@@ -118,7 +118,14 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n"] == 5 and rec["object"] == 3 and rec["view"] == 2
     assert np.isfinite(rec["posterior_var"]) and rec["posterior_var"] > 0
-    assert (tmp_path / "run" / "posterior_obj3_view2.png").exists()
+    panel = tmp_path / "run" / "posterior_obj3_view2.png"
+    assert panel.exists()
+    # all K=5 sample columns must render (save_panel truncates rows to the
+    # SHORTEST row, so a 1-image truth row would silently drop 4 draws)
+    from PIL import Image
+
+    w, _h = Image.open(panel).size
+    assert w >= 5 * 32, f"panel width {w}: sample columns were truncated"
 
 
 def test_generate_cli_defaults_dataset_from_sidecar(tmp_path, capsys):
