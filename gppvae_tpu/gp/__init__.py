@@ -48,7 +48,6 @@ from gppvae_tpu.gp.nystrom import (
 )
 from gppvae_tpu.gp.taylor import (
     surrogate_batch_term,
-    surrogate_term_rows,
     taylor_expand,
     TaylorCoefficients,
 )
@@ -76,7 +75,6 @@ __all__ = [
     "normalize_rows",
     "polynomial_view_features",
     "surrogate_batch_term",
-    "surrogate_term_rows",
     "taylor_expand",
     "TaylorCoefficients",
     "compress_rank",

@@ -81,31 +81,6 @@ def surrogate_batch_term(
     """
     dZb = jax.lax.stop_gradient(coeffs.dZ[idx])
     dVb = jax.tree.map(lambda a: jax.lax.stop_gradient(a[idx]), coeffs.dV)
-    return surrogate_term_rows(
-        dZb, dVb, coeffs.daux, z_batch, v_batch, aux,
-        idx.shape[0], num_total, weights=weights,
-    )
-
-
-def surrogate_term_rows(
-    dZb: jax.Array,
-    dVb: Any,
-    daux: Any,
-    z_batch: jax.Array,
-    v_batch: jax.Array,
-    aux: Any,
-    batch_rows: int,
-    num_total: int,
-    *,
-    weights: jax.Array | None = None,
-) -> jax.Array:
-    """surrogate_batch_term with the coefficient rows ALREADY gathered.
-
-    The fused trainer pre-gathers every per-row operand for the whole epoch
-    once (one big contiguous gather) instead of gathering inside each scan
-    step — the device trace showed the per-step gather+layout copies cost
-    ~10% of the epoch. Math is identical to surrogate_batch_term.
-    """
     if weights is None:
         term = jnp.sum(dZb * z_batch) + sum(
             jnp.sum(g * v)
@@ -113,9 +88,17 @@ def surrogate_term_rows(
                 jax.tree.leaves(dVb), jax.tree.leaves(v_batch), strict=True
             )
         )
-        frac = batch_rows / num_total
+        frac = idx.shape[0] / num_total
     else:
-        weights = weights.astype(z_batch.dtype)
+        # PROMOTE weights, never downcast: the old z_batch.dtype cast made
+        # jnp.sum(weights) count 0/1 rows in bf16, which cannot represent
+        # integers above 256 — the variance-coefficient share (and so the
+        # exact-epoch-gradient identity in the module docstring) would
+        # silently break for bf16 latents at bs > 256. Promotion keeps the
+        # count ≥f32-exact while preserving the f64 oracles' precision
+        # (weights follow z up to f64) — bit-identical on every trainer
+        # path (f32 z, f32 weights).
+        weights = weights.astype(jnp.promote_types(weights.dtype, z_batch.dtype))
         term = jnp.sum(weights * jnp.sum(dZb * z_batch, axis=1)) + sum(
             jnp.sum(weights * jnp.sum(g * v, axis=1))
             for g, v in zip(
@@ -123,7 +106,7 @@ def surrogate_term_rows(
             )
         )
         frac = jnp.sum(weights) / num_total
-    daux = jax.lax.stop_gradient(daux)
+    daux = jax.lax.stop_gradient(coeffs.daux)
     aux_dot = sum(
         jnp.vdot(g, a)
         for g, a in zip(jax.tree.leaves(daux), jax.tree.leaves(aux), strict=True)

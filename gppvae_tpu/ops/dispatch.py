@@ -77,7 +77,12 @@ def _load_pallas() -> None:
     _PALLAS_LOADED = True
     try:
         from gppvae_tpu.ops import pallas_chol, pallas_gemm  # noqa: F401
-    except Exception:  # pragma: no cover — platform without pallas support
+    except ImportError:  # pragma: no cover — platform without pallas support
+        # ONLY missing-dependency imports fall back silently; any other
+        # exception (a typo'd refactor, a renamed symbol) must surface —
+        # a blanket except would permanently and silently degrade the
+        # 'pallas' backend to XLA, hiding kernel regressions from the
+        # TPU test tier and every benchmark (review finding).
         pass
 
 
@@ -86,6 +91,10 @@ def register_pallas(name: str, fn: Callable) -> None:
 
 
 def _dispatch(name: str, xla_fn: Callable, impl: str | None, *args):
+    if impl is not None and impl not in ("xla", "pallas"):
+        # same contract as set_backend: a typo'd impl ('Pallas', 'palas')
+        # must not silently measure/validate the XLA path instead
+        raise ValueError(f"unknown ops impl {impl!r}; want 'xla' or 'pallas'")
     backend = impl or _BACKEND
     if backend == "pallas":
         _load_pallas()
@@ -163,11 +172,11 @@ def factor_prep(U: jax.Array, Z: jax.Array, *, impl: str | None = None):
     excluding each other. The XLA path stays auto-SPMD (GSPMD partitions
     the dots itself)."""
     if (impl or _BACKEND) == "pallas" and _MESH_AXIS is not None:
-        return _factor_prep_shard_map(U, Z)
+        return _factor_prep_shard_map(U, Z, impl)
     return _dispatch("factor_prep", _xla_factor_prep, impl, U, Z)
 
 
-def _factor_prep_shard_map(U: jax.Array, Z: jax.Array):
+def _factor_prep_shard_map(U: jax.Array, Z: jax.Array, impl: str | None = None):
     """Per-shard fused Gram/projection/norm + psum over the data axis.
 
     Each device streams only its N/ndev rows of U and Z through the Pallas
@@ -177,7 +186,10 @@ def _factor_prep_shard_map(U: jax.Array, Z: jax.Array):
     from jax.sharding import PartitionSpec as P
 
     def local(u, z):
-        out = _dispatch("factor_prep", _xla_factor_prep, None, u, z)
+        # thread the caller's explicit impl through (an explicit 'pallas'
+        # was previously dropped here and the global backend decided —
+        # a parity test under set_mesh could compare XLA to XLA vacuously)
+        out = _dispatch("factor_prep", _xla_factor_prep, impl, u, z)
         return jax.lax.psum(tuple(out), axis)
 
     # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
