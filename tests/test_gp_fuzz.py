@@ -55,3 +55,36 @@ def test_predictive_matches_dense_fuzz(n, n_star, r, seed):
     var_ref = kss - jnp.sum(Ks * jnp.linalg.solve(K, Ks.T).T, axis=1)
     np.testing.assert_allclose(var, var_ref, rtol=1e-7)
     assert (np.asarray(var) > 0).all()
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    log_mag=st.floats(-6.0, 8.0),
+    clip=st.floats(0.5, 1e6),
+)
+def test_spike_guard_matches_optax_fuzz(seed, log_mag, clip):
+    """spike_guard (one fused Σg² pass) must be bit-identical to
+    optax.chain(clip_by_global_norm, adam) on finite gradients across
+    random magnitudes — both below the threshold (exact pass-through) and
+    above it (same clip arithmetic)."""
+    import optax
+
+    from gppvae_tpu.train.train_gppvae import spike_guard
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params = {
+        "a": jax.random.normal(k1, (3, 5), jnp.float32),
+        "b": jax.random.normal(k2, (7,), jnp.float32),
+    }
+    grads = jax.tree.map(lambda p: p * jnp.float32(10.0**log_mag), params)
+
+    guarded = spike_guard(optax.adam(1e-3), clip)
+    ref = optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3))
+    gs, rs = guarded.init(params), ref.init(params)
+    for _ in range(2):
+        gu, gs = guarded.update(grads, gs, params)
+        ru, rs = ref.update(grads, rs, params)
+        for a, b in zip(jax.tree.leaves(gu), jax.tree.leaves(ru)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(gs["notfinite_count"]) == 0
