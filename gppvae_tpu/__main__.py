@@ -6,6 +6,8 @@ plus the rebuild's eval tooling:
     train-vae     vanilla conv-VAE pretrain          (train/train_vae.py)
     train-gppvae  GPPVAE dis/joint training          (train/train_gppvae.py)
     generate      out-of-sample conditional generation (eval/generate.py)
+    serve         answer (object, view) requests from an exported
+                  server-state artifact               (eval/serving.py)
     plot          history figure from metrics.jsonl  (eval/plots.py)
 """
 
@@ -15,6 +17,7 @@ _COMMANDS = {
     "train-vae": ("gppvae_tpu.train.train_vae", "main"),
     "train-gppvae": ("gppvae_tpu.train.train_gppvae", "main"),
     "generate": ("gppvae_tpu.eval.generate", "main"),
+    "serve": ("gppvae_tpu.eval.serving", "main"),
     "plot": ("gppvae_tpu.eval.plots", "main"),
 }
 # full-pipeline scripts living at the repo root (available when run from a

@@ -237,3 +237,92 @@ def x_map_from_meta(meta: dict, in_dim: int):
         meta.get("rff_features", 32), meta.get("rff_lengthscale", 1.0),
         meta.get("seed", 0), meta.get("nystrom_idx"),
     )
+
+
+def main(argv=None):
+    """Serve conditional generations from an exported artifact:
+
+        python -m gppvae_tpu serve --state model.srv \\
+            --requests 3:2,5:0,12:7 [--sample K] [--var] [--outdir DIR]
+
+    Loads the N-independent server state written by
+    `generate --export_server` (model architecture + feature-map config
+    from the .meta.json sidecar), answers the requested (object:view)
+    cells — predictive means by default, K posterior draws per cell with
+    --sample — and writes a PNG panel + .npz alongside a JSON stats line.
+    """
+    import argparse
+    import json
+    import time
+
+    import numpy as np
+
+    from gppvae_tpu.eval.panels import save_panel
+    from gppvae_tpu.models import VAE
+
+    p = argparse.ArgumentParser(description="GPPVAE serving CLI")
+    p.add_argument("--state", required=True,
+                   help="server-state artifact from generate --export_server")
+    p.add_argument("--requests", required=True,
+                   help="comma-separated object:view pairs, e.g. 3:2,5:0")
+    p.add_argument("--sample", type=int, default=0,
+                   help="decode K posterior draws per cell instead of the mean")
+    p.add_argument("--var", action="store_true",
+                   help="also report the GP-predictive latent variance per cell")
+    p.add_argument("--seed", type=int, default=0, help="--sample RNG seed")
+    p.add_argument("--outdir", default=".")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    state, meta = load_server_state(args.state)
+    if "image_shape" not in meta:
+        raise ValueError(
+            f"{args.state}.meta.json lacks image_shape — re-export with "
+            "generate --export_server"
+        )
+    model = VAE(
+        zdim=int(meta["zdim"]),
+        image_shape=tuple(meta["image_shape"]),
+        enc_features=tuple(meta.get("enc_features", (32, 64, 128))),
+        dec_features=tuple(meta.get("dec_features", (128, 64, 32))),
+    )
+    x_map = x_map_from_meta(meta, state.X.shape[1])
+    extra = tuple(meta.get("extra_effects", ()))
+
+    pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]
+    P, Q = state.X.shape[0], state.W.shape[0]
+    for d0, q0 in pairs:
+        if not (0 <= d0 < P and 0 <= q0 < Q):
+            raise ValueError(f"request {d0}:{q0} outside the {P}×{Q} grid")
+    d = jnp.asarray([r[0] for r in pairs], jnp.int32)
+    q = jnp.asarray([r[1] for r in pairs], jnp.int32)
+
+    t0 = time.perf_counter()
+    out = {"n_requests": len(pairs), "state": args.state}
+    if args.sample:
+        y = sample_images(model, state, d, q, jax.random.PRNGKey(args.seed),
+                          args.sample, x_map=x_map, extra_effects=extra)
+        rows = [np.asarray(y[i]) for i in range(len(pairs))]  # one row/cell
+        out["samples_per_request"] = args.sample
+    else:
+        res = predict_images(model, state, d, q, x_map=x_map,
+                             extra_effects=extra, return_var=args.var)
+        y, var = res if args.var else (res, None)
+        rows = [np.asarray(y)]
+        if var is not None:
+            out["posterior_var"] = [round(float(v), 6) for v in var]
+    out["latency_s"] = round(time.perf_counter() - t0, 4)
+
+    import os
+
+    os.makedirs(args.outdir, exist_ok=True)
+    panel = os.path.join(args.outdir, "served.png")
+    save_panel(panel, rows)
+    npz = os.path.join(args.outdir, "served.npz")
+    np.savez_compressed(npz, images=np.asarray(rows[0] if not args.sample else y),
+                        objects=np.asarray(d), views=np.asarray(q))
+    out["panel"] = panel
+    out["npz"] = npz
+    print(json.dumps(out))

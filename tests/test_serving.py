@@ -282,3 +282,51 @@ def test_serving_posterior_sampling(trained):
     err_mean = float(np.mean(np.square(np.asarray(y).mean(axis=1) - np.asarray(y_mean))))
     err_single = float(np.mean(np.square(np.asarray(y) - np.asarray(y_mean)[:, None])))
     assert err_mean < err_single
+
+
+def test_serve_cli_end_to_end(tmp_path, capsys):
+    """Full deployment loop: train → generate --export_server → serve CLI
+    answers requests (mean, --var, --sample) from the artifact alone."""
+    import json
+
+    from gppvae_tpu.eval.generate import main as gen_main
+    from gppvae_tpu.eval.serving import main as serve_main
+    from gppvae_tpu.train import train_gppvae
+
+    ds = build_rotated_digits("synthetic", num_objects=10, num_views=8,
+                              image_size=32, seed=0)
+    out = str(tmp_path / "run")
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=2, batch_size=32,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8),
+                            outdir=out)
+    train_gppvae(ds, cfg, log=NullLogger())
+    srv = str(tmp_path / "model.srv")
+    gen_main(["--state", out + "/final_state", "--export_server", srv,
+              "--outdir", out])
+    capsys.readouterr()
+
+    serve_main(["--state", srv, "--requests", "3:2,5:0", "--var",
+                "--outdir", str(tmp_path / "served")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_requests"] == 2
+    assert len(rec["posterior_var"]) == 2 and all(
+        v > 0 for v in rec["posterior_var"]
+    )
+    assert (tmp_path / "served" / "served.png").exists()
+    import numpy as _np
+
+    data = _np.load(tmp_path / "served" / "served.npz")
+    assert data["images"].shape == (2, 32, 32, 1)
+
+    serve_main(["--state", srv, "--requests", "7:1", "--sample", "4",
+                "--outdir", str(tmp_path / "served2")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["samples_per_request"] == 4
+    data = _np.load(tmp_path / "served2" / "served.npz")
+    assert data["images"].shape == (1, 4, 32, 32, 1)
+
+    # out-of-grid requests fail loudly
+    with pytest.raises(ValueError, match="outside"):
+        serve_main(["--state", srv, "--requests", "99:0",
+                    "--outdir", str(tmp_path / "servedX")])
