@@ -77,3 +77,24 @@ def test_compile_cache_env_opt_in(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     cached = [f for _, _, fs in __import__("os").walk(tmp_path) for f in fs]
     assert cached, "no compilation cache entries written"
+
+
+def test_plot_cli(tmp_path):
+    """`python -m gppvae_tpu plot <outdir>` renders a history figure from a
+    metrics.jsonl (covers the last unregistered-untested CLI command)."""
+    import json
+    import os
+
+    rows = [
+        {"driver": "train_gppvae[joint]", "epoch": e, "loss": 100.0 - e,
+         "recon_term": 90.0 - e, "gp_term": -1.0, "pen_term": 0.1,
+         "mse": 0.2 / (e + 1), "oos_mse": 0.3 / (e + 1), "sec_epoch": 0.01}
+        for e in range(4)
+    ]
+    with open(tmp_path / "metrics.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    from gppvae_tpu.eval.plots import main
+
+    main([str(tmp_path), "--out", str(tmp_path / "h.png")])
+    assert os.path.getsize(tmp_path / "h.png") > 1000
