@@ -106,6 +106,19 @@ def test_fourier_view_features_periodic_unit_norm():
     np.testing.assert_allclose(Kv[0, 15], Kv[0, 1], rtol=1e-10)
 
 
+def test_view_features_reject_degenerate_rank():
+    """num_freqs=0 / degree=0 would silently build a rank-1 CONSTANT view
+    kernel (no view discrimination) — the library rejects it, matching the
+    trainer's view_feature_dim validation (round-3 VERDICT weak #7)."""
+    import pytest as _pytest
+
+    angles = jnp.linspace(0.0, 2 * jnp.pi, 8, endpoint=False)
+    with _pytest.raises(ValueError, match="num_freqs"):
+        gp.fourier_view_features(angles, num_freqs=0)
+    with _pytest.raises(ValueError, match="degree"):
+        gp.polynomial_view_features(jnp.linspace(0.0, 1.0, 8), degree=0)
+
+
 def test_kron_rows_hadamard_identity():
     key = jax.random.PRNGKey(8)
     a, b = jax.random.split(key)

@@ -234,6 +234,31 @@ def test_gppvae_mesh_nondivisible_n_matches_single_device():
             )
 
 
+def test_gppvae_mesh_train_set_smaller_than_data_axis():
+    """Padding must survive N < ndev (ADVICE.md round-3): the pad exceeds
+    the train set, so wrap-around rows must CYCLE the index vector — and
+    the tiny-N mesh trajectory must still equal single-device."""
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+
+    # 3 objects × 2 views, 1 heldout view/object → 3 train rows < 8 devices
+    ds = build_rotated_digits("synthetic", num_objects=3, num_views=2, seed=0)
+    assert len(ds.train_idx) < 8, "fixture must exercise pad > num_train"
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=2,
+        obj_feature_dim=4, view_num_freqs=1,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    mesh_hist = train_gppvae(ds, config, mesh=make_mesh(8)).history
+    ref_hist = train_gppvae(ds, config, mesh=None).history
+    for m, r in zip(mesh_hist, ref_hist):
+        for key in ("loss", "recon_term", "gp_term", "gp_nll_full", "oos_mse"):
+            np.testing.assert_allclose(
+                m[key], r[key], rtol=1e-4, atol=1e-6,
+                err_msg=f"tiny-N mesh mismatch on {key!r} (epoch {m['epoch']})",
+            )
+
+
 def test_gppvae_trains_on_mesh():
     from gppvae_tpu.data import build_rotated_digits
     from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae

@@ -72,3 +72,30 @@ def test_unknown_upsample_rejected():
     dec = ConvDecoder((32, 32, 1), (64, 32, 16), upsample="bogus")
     with pytest.raises(ValueError, match="unknown upsample"):
         dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))
+
+
+@pytest.mark.parametrize("impl", ["dilated", "stack", "padsum"])
+def test_subpixel_impl_env_selects_all_lowerings(impl, monkeypatch):
+    """Every GPPVAE_SUBPIXEL_IMPL lowering computes the same function on
+    the same param tree (the round-3 A/B contract)."""
+    monkeypatch.delenv("GPPVAE_SUBPIXEL_IMPL", raising=False)
+    key = jax.random.PRNGKey(3)
+    dec_r = ConvDecoder((32, 32, 1), (32, 16), upsample="resize")
+    dec_s = ConvDecoder((32, 32, 1), (32, 16), upsample="subpixel")
+    z = jax.random.normal(key, (2, 8))
+    params = dec_r.init(key, z)
+    ref = dec_r.apply(params, z)
+    monkeypatch.setenv("GPPVAE_SUBPIXEL_IMPL", impl)
+    out = dec_s.apply(params, z)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-12
+    assert float(jnp.max(jnp.abs(ref - out))) <= 1e-5 * scale
+
+
+def test_subpixel_impl_env_typo_rejected(monkeypatch):
+    """A typo'd GPPVAE_SUBPIXEL_IMPL must error, not silently run the slow
+    'stack' path (round-3 VERDICT weak #5: the env used to be read twice
+    with different defaults)."""
+    monkeypatch.setenv("GPPVAE_SUBPIXEL_IMPL", "dialted")
+    dec = ConvDecoder((32, 32, 1), (32, 16), upsample="subpixel")
+    with pytest.raises(ValueError, match="GPPVAE_SUBPIXEL_IMPL"):
+        dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))
