@@ -7,10 +7,18 @@ states, epoch counter) checkpoints through Orbax, and the cross-script
 """
 
 from gppvae_tpu.checkpoint.orbax_io import (
+    CheckpointFormatError,
+    FORMAT_VERSION,
     load_pytree,
+    load_train_state,
     save_pytree,
+    save_train_state,
     load_vae_weights,
     save_vae_weights,
 )
 
-__all__ = ["load_pytree", "save_pytree", "load_vae_weights", "save_vae_weights"]
+__all__ = [
+    "CheckpointFormatError", "FORMAT_VERSION",
+    "load_pytree", "save_pytree", "load_train_state", "save_train_state",
+    "load_vae_weights", "save_vae_weights",
+]

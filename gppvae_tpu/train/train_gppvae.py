@@ -55,7 +55,11 @@ import numpy as np
 import optax
 
 from gppvae_tpu import gp, ops
-from gppvae_tpu.checkpoint import load_pytree, load_vae_weights, save_pytree
+from gppvae_tpu.checkpoint import (
+    load_train_state,
+    load_vae_weights,
+    save_train_state,
+)
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
@@ -750,10 +754,10 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
             **({"nystrom_idx": nystrom_idx} if nystrom_idx is not None else {}),
             "epoch": 0,
         }
-        # note: checkpoints written before log_vs became a per-effect vector
-        # (round-1 interim format, never released) are not loadable; the
-        # state layout is otherwise stable
-        state = load_pytree(config.resume, abstract)
+        # format breaks (v1 log_vs scalar, v2 pre-spike_guard opt states)
+        # raise a NAMED CheckpointFormatError with the history — see
+        # checkpoint/orbax_io.py FORMAT_VERSION
+        state = load_train_state(config.resume, abstract)
         params, ov_state, og_state = (
             state["params"], state["ov_state"], state["og_state"]
         )
@@ -821,7 +825,7 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
             )
 
     if config.outdir:
-        save_pytree(
+        save_train_state(
             os.path.join(config.outdir, "final_state"),
             {
                 "params": params,
@@ -964,7 +968,7 @@ def _epoch_artifacts(model, params, images_tr, y_pred, y_ho, config, epoch,
             ],
         )
     if crossed(config.checkpoint_every) and not last:
-        save_pytree(
+        save_train_state(
             os.path.join(config.outdir, f"state_{epoch + 1:04d}"),
             {
                 "params": params,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gppvae_tpu.checkpoint import save_pytree, save_vae_weights
+from gppvae_tpu.checkpoint import save_train_state, save_vae_weights
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.panels import save_panel
 from gppvae_tpu.models import VAE
@@ -255,7 +255,7 @@ def train_vae(
 
     if config.outdir:
         save_vae_weights(os.path.join(config.outdir, "vae_weights"), params)
-        save_pytree(
+        save_train_state(
             os.path.join(config.outdir, "final_state"),
             {"params": params, "opt_state": opt_state, "epoch": config.epochs},
         )
