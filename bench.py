@@ -32,6 +32,44 @@ import time
 BF16_PEAK_FLOPS = 197e12  # TPU v5e MXU peak (bf16); fp32 runs below this
 
 
+def _await_backend(max_wait_s=600):
+    """Bounded wait for the device backend (round-3 lesson: BENCH_r03.json
+    failed rc=1 because ONE transient `UNAVAILABLE` at axon backend init
+    erased the whole round's perf artifact). Probes a tiny jnp op in a
+    SUBPROCESS — a hung init (relay wedged) then cannot wedge this
+    process, and a fast failure (relay dead/restarting) is distinguished
+    from it — retrying until the deadline. Returns (ok, note)."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "assert float(jnp.ones(8).sum()) == 8.0; "
+        "print(jax.default_backend())"
+    )
+    deadline = time.monotonic() + max_wait_s
+    status = "unprobed"
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=120, text=True,
+            )
+            if r.returncode == 0:
+                return True, r.stdout.strip().splitlines()[-1]
+            status = "dead (backend init error)"
+        except subprocess.TimeoutExpired:
+            status = "wedged (probe hung)"
+        now = time.monotonic()
+        if now >= deadline:
+            return False, status
+        print(
+            f"# bench: backend {status}; retrying ({int(deadline - now)}s "
+            "left in the bounded wait)", file=sys.stderr,
+        )
+        time.sleep(min(30.0, max(1.0, deadline - now)))
+
+
 def _median_sec(history, skip):
     times = sorted(h["sec_epoch"] for h in history[skip:])
     return times[len(times) // 2]
@@ -54,6 +92,17 @@ def _sec_stats(history, skip):
 
 
 def main():
+    import sys
+
+    ok, note = _await_backend()
+    if not ok:
+        raise SystemExit(
+            f"bench: device backend unavailable after the bounded retry "
+            f"window ({note}); not falling back to CPU — a CPU number would "
+            "be a misleading perf artifact"
+        )
+    print(f"# bench: backend probe OK ({note})", file=sys.stderr)
+
     import jax
 
     from gppvae_tpu.data import build_faceplace, build_rotated_digits
@@ -321,6 +370,16 @@ def main():
     configs["accuracy"] = run_validation(fast=True, emit=lambda *a, **k: None)
     configs["accuracy"]["wall_s"] = round(time.perf_counter() - t0, 1)
 
+    # stable program identity for drift arbitration (round-3 VERDICT weak
+    # #6): same sha ⇒ same fused program, so only the relay/wall changed.
+    # Host-side lowering only — no extra device compile.
+    try:
+        from gppvae_tpu.train.train_gppvae import fused_epoch_program_hash
+
+        prog_sha = fused_epoch_program_hash(ds, fcfg)
+    except Exception:
+        prog_sha = None
+
     baseline = None
     try:
         with open("BASELINE.json") as f:
@@ -338,6 +397,7 @@ def main():
             "device": str(jax.devices()[0]),
             "n_train": int(len(ds.train_idx)),
             "joint_total_wall_s": round(joint_wall, 1),
+            "program_sha1": prog_sha,
             "configs": configs,
             "mfu": mfu,
         },

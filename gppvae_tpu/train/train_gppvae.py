@@ -994,6 +994,18 @@ def fused_epoch_cost(dataset, config: GPPVAETrainConfig, mesh=None,
     utils/flops.py formulas instead (validated against cost_analysis on
     unscanned subprograms in tests/test_flops.py). This helper remains
     useful for inspecting what ONE pass of each loop body costs."""
+    try:
+        compiled = _lower_fused(dataset, config, mesh, n_epochs).compile()
+        return dict(compiled.cost_analysis() or {})
+    except Exception:  # pragma: no cover — backend without cost analysis
+        return {}
+
+
+def _lower_fused(dataset, config: GPPVAETrainConfig, mesh=None,
+                 n_epochs: int | None = None):
+    """Trace + lower (NOT compile) the fused multi-epoch program at this
+    config's true shapes; shared by fused_epoch_cost and
+    fused_epoch_program_hash."""
     backend = config.ops_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -1012,16 +1024,26 @@ def fused_epoch_cost(dataset, config: GPPVAETrainConfig, mesh=None,
         loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
                      nystrom_idx=nystrom_idx)
         a = arrays
-        try:
-            compiled = loop.make_fused_fn(n).lower(
-                params, opt_vae.init(params["vae"]), opt_gp.init(params["gp"]),
-                fixed_W, a["images_tr"], a["d_tr"], a["q_tr"],
-                a["y_ho"], a["d_ho"], a["q_ho"], epoch_keys(rng, 0, n),
-                a["row_mask"],
-            ).compile()
-            return dict(compiled.cost_analysis() or {})
-        except Exception:  # pragma: no cover — backend without cost analysis
-            return {}
+        return loop.make_fused_fn(n).lower(
+            params, opt_vae.init(params["vae"]), opt_gp.init(params["gp"]),
+            fixed_W, a["images_tr"], a["d_tr"], a["q_tr"],
+            a["y_ho"], a["d_ho"], a["q_ho"], epoch_keys(rng, 0, n),
+            a["row_mask"],
+        )
+
+
+def fused_epoch_program_hash(dataset, config: GPPVAETrainConfig, mesh=None,
+                             n_epochs: int | None = None) -> str:
+    """Stable identity of the fused program: sha1 of the lowered StableHLO
+    text (host-side tracing only — no device, no compile). Same hash ⇒
+    same program, so relay wall-clock drift can never masquerade as a
+    program change; the bench artifact records it next to the headline
+    (round-3 VERDICT weak #6 — the device-trace fingerprint from
+    tools/trace_summary.py remains the on-device arbiter)."""
+    import hashlib
+
+    text = _lower_fused(dataset, config, mesh, n_epochs).as_text()
+    return hashlib.sha1(text.encode()).hexdigest()[:16]
 
 
 def main(argv=None):

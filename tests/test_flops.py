@@ -100,6 +100,29 @@ def test_fused_epoch_cost_smoke():
     assert ca.get("flops", 0) > 0
 
 
+def test_fused_epoch_program_hash_stable_and_program_sensitive():
+    """The bench artifact's program identity (round-3 VERDICT weak #6):
+    same config ⇒ same sha (relay drift can't read as a program change);
+    a decoder-lowering change ⇒ different sha."""
+    import dataclasses
+
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig
+    from gppvae_tpu.train.train_gppvae import fused_epoch_program_hash
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8, seed=0)
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=1, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=1,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    h = fused_epoch_program_hash(ds, config)
+    assert h == fused_epoch_program_hash(ds, config)
+    assert h != fused_epoch_program_hash(
+        ds, dataclasses.replace(config, dec_upsample="subpixel")
+    )
+
+
 def test_fwd_bwd_is_about_3x_fwd(model_and_params):
     """The backward=2×forward convention used by gppvae_epoch_flops, checked
     against XLA's count of an actual value_and_grad program."""

@@ -234,6 +234,45 @@ def test_gppvae_mesh_nondivisible_n_matches_single_device():
             )
 
 
+@pytest.mark.parametrize(
+    "knobs,rtol",
+    [
+        ({"grad_accum_steps": 2}, 1e-4),
+        ({"refresh_every_steps": 3}, 1e-4),
+        # bf16 compute: shard-order reassociation of bf16 products drifts
+        # more than the f32 cases' ≲1e-6 — tolerance reflects that
+        ({"compute_dtype": "bfloat16", "polish_epochs": 1}, 2e-3),
+    ],
+    ids=["grad_accum", "refresh_mid_epoch", "polish_tail"],
+)
+def test_gppvae_mesh_round3_knobs_match_single_device(knobs, rtol):
+    """The round-3 training knobs must compose with the mesh (round-3
+    VERDICT weak #3): MultiSteps state under psum'd grads
+    (grad_accum_steps), Phase A+B re-expansion segments under shard_map
+    (refresh_every_steps), and the f32 polish tail each reproduce the
+    single-device trajectory on a 8-way DP mesh."""
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+
+    ds = build_rotated_digits("synthetic", num_objects=16, num_views=8, seed=0)
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8), **knobs,
+    )
+    mesh_hist = train_gppvae(ds, config, mesh=make_mesh(8)).history
+    ref_hist = train_gppvae(ds, config, mesh=None).history
+    assert len(mesh_hist) == len(ref_hist) == 2
+    for m, r in zip(mesh_hist, ref_hist):
+        for key in ("loss", "recon_term", "gp_term", "gp_nll_full",
+                    "oos_mse", "v_sig", "v_noise"):
+            np.testing.assert_allclose(
+                m[key], r[key], rtol=rtol, atol=1e-6,
+                err_msg=f"mesh-vs-single-device mismatch on {key!r} with "
+                        f"{knobs} (epoch {m['epoch']})",
+            )
+
+
 def test_gppvae_mesh_train_set_smaller_than_data_axis():
     """Padding must survive N < ndev (ADVICE.md round-3): the pad exceeds
     the train set, so wrap-around rows must CYCLE the index vector — and
