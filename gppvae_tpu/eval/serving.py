@@ -269,6 +269,13 @@ def main(argv=None):
                    help="decode K posterior draws per cell instead of the mean")
     p.add_argument("--var", action="store_true",
                    help="also report the GP-predictive latent variance per cell")
+    p.add_argument("--repeat", type=int, default=0,
+                   help="throughput mode: after answering, re-serve the "
+                        "request batch K more times (indices rotated per rep "
+                        "so a caching relay must do real work) and report "
+                        "images_per_sec over the best rep — the number to "
+                        "compare against bench.py's oos_serving sustained "
+                        "rate")
     p.add_argument("--seed", type=int, default=0, help="--sample RNG seed")
     p.add_argument("--outdir", default=".")
     args = p.parse_args(argv)
@@ -322,6 +329,29 @@ def main(argv=None):
         if var is not None:
             out["posterior_var"] = [round(float(v), 6) for v in var]
     out["latency_s"] = round(time.perf_counter() - t0, 4)
+
+    if args.repeat > 0 and not args.sample:
+        # throughput mode (VERDICT round-3 #3 done-criterion): the serve
+        # CLI's own sustained rate on the SAME jitted program the answer
+        # used, comparable to bench.py's oos_serving number. Indices are
+        # rotated per rep (different grid cells) and the full image batch
+        # is read back, so a memoizing relay must do real decode work.
+        served = jax.jit(
+            lambda s, dd, qq: predict_images(model, s, dd, qq, x_map=x_map,
+                                             extra_effects=extra)
+        )
+        _ = jax.device_get(served(state, d, q))  # compile outside the timing
+        reqs = [((d + i + 1) % P, (q + i + 1) % Q) for i in range(args.repeat)]
+        jax.block_until_ready(reqs)
+        reps = []
+        for dd, qq in reqs:
+            t0 = time.perf_counter()
+            _ = jax.device_get(served(state, dd, qq))
+            reps.append(time.perf_counter() - t0)
+        out["repeat"] = args.repeat
+        out["repeat_latency_s_min"] = round(min(reps), 5)
+        out["repeat_latency_s_median"] = round(sorted(reps)[len(reps) // 2], 5)
+        out["images_per_sec"] = round(len(pairs) / min(reps))
 
     import os
 

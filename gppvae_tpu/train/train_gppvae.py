@@ -1110,6 +1110,20 @@ def main(argv=None):
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace here (view with xprof)")
     p.add_argument("--panel_every", type=int, default=10)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="epochs between resumable state_NNNN checkpoints "
+                        "(0 = final_state only)")
+    p.add_argument("--view_feature_dim", type=int, default=None,
+                   help="explicit view-feature rank M_w (odd >= 3 for "
+                        "periodic view aux; default 2*view_freqs+1)")
+    p.add_argument("--rff_lengthscale", type=float, default=1.0,
+                   help="RBF lengthscale for the rbf object kernels")
+    p.add_argument("--init_v_sig", type=float, default=1.0)
+    p.add_argument("--init_v_noise", type=float, default=0.5)
+    p.add_argument("--enc_features", default="32,64,128",
+                   help="comma-separated encoder conv channels")
+    p.add_argument("--dec_features", default="128,64,32",
+                   help="comma-separated decoder conv channels")
     args = p.parse_args(argv)
 
     from gppvae_tpu.config.datasets import build_dataset_from_flag
@@ -1138,6 +1152,12 @@ def main(argv=None):
         profile_phases=args.profile_phases,
         profile_dir=args.profile_dir,
         outdir=args.outdir, panel_every=args.panel_every,
+        checkpoint_every=args.checkpoint_every,
+        view_feature_dim=args.view_feature_dim,
+        rff_lengthscale=args.rff_lengthscale,
+        init_v_sig=args.init_v_sig, init_v_noise=args.init_v_noise,
+        enc_features=tuple(int(f) for f in args.enc_features.split(",")),
+        dec_features=tuple(int(f) for f in args.dec_features.split(",")),
     )
     train_gppvae(ds, config)
 

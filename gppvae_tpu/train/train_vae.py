@@ -300,6 +300,14 @@ def main(argv=None):
                    choices=["resize", "subpixel"])
     p.add_argument("--epochs_per_dispatch", type=int, default=1)
     p.add_argument("--panel_every", type=int, default=10)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="epochs between vae_weights_NNNN checkpoints "
+                        "(0 = end only)")
+    p.add_argument("--beta_kl", type=float, default=1.0)
+    p.add_argument("--enc_features", default="32,64,128",
+                   help="comma-separated encoder conv channels")
+    p.add_argument("--dec_features", default="128,64,32",
+                   help="comma-separated decoder conv channels")
     args = p.parse_args(argv)
 
     from gppvae_tpu.config.datasets import build_dataset_from_flag
@@ -310,6 +318,9 @@ def main(argv=None):
         seed=args.seed, sigma_y=args.sigma_y, compute_dtype=args.dtype, dec_upsample=args.dec_upsample,
         epochs_per_dispatch=args.epochs_per_dispatch,
         outdir=args.outdir, panel_every=args.panel_every,
+        checkpoint_every=args.checkpoint_every, beta_kl=args.beta_kl,
+        enc_features=tuple(int(f) for f in args.enc_features.split(",")),
+        dec_features=tuple(int(f) for f in args.dec_features.split(",")),
     )
     train_vae(ds, config)
 

@@ -45,6 +45,10 @@ def test_train_gppvae_flags_reach_config(monkeypatch):
         "--ops_backend", "xla", "--encode_chunk", "64", "--scan_unroll", "3",
         "--flat_images_threshold", "999999", "--outdir", "/tmp/cli_cfg_test",
         "--grad_accum_steps", "4", "--refresh_every_steps", "9",
+        "--checkpoint_every", "5", "--view_feature_dim", "7",
+        "--rff_lengthscale", "2.5", "--init_v_sig", "0.7",
+        "--init_v_noise", "0.3", "--enc_features", "8,16",
+        "--dec_features", "16,8",
     ])
     c = captured["config"]
     assert c.learn_sigma_y is True
@@ -55,6 +59,34 @@ def test_train_gppvae_flags_reach_config(monkeypatch):
     assert c.flat_images_threshold == 999999
     assert c.grad_accum_steps == 4
     assert c.refresh_every_steps == 9
+    assert c.checkpoint_every == 5
+    assert c.view_feature_dim == 7
+    assert c.rff_lengthscale == 2.5
+    assert c.init_v_sig == 0.7 and c.init_v_noise == 0.3
+    assert c.enc_features == (8, 16) and c.dec_features == (16, 8)
+
+
+def test_train_vae_flags_reach_config(monkeypatch):
+    """Same contract for the VAE pretrain CLI (round-4: checkpoint_every /
+    beta_kl / conv-channel lists were config-only)."""
+    import importlib
+
+    mod = importlib.import_module("gppvae_tpu.train.train_vae")
+    captured = {}
+    monkeypatch.setattr(
+        mod, "train_vae",
+        lambda ds, config, **kw: captured.update(config=config) or None,
+    )
+    mod.main([
+        "--data", "synthetic", "--num_objects", "6", "--num_views", "4",
+        "--epochs", "1", "--checkpoint_every", "3", "--beta_kl", "0.5",
+        "--enc_features", "8,16", "--dec_features", "16,8",
+        "--outdir", "/tmp/cli_cfg_test_vae",
+    ])
+    c = captured["config"]
+    assert c.checkpoint_every == 3
+    assert c.beta_kl == 0.5
+    assert c.enc_features == (8, 16) and c.dec_features == (16, 8)
 
 
 def test_compile_cache_env_opt_in(tmp_path):

@@ -388,6 +388,14 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     data = _np.load(tmp_path / "served2" / "served.npz")
     assert data["images"].shape == (1, 4, 32, 32, 1)
 
+    # throughput mode: --repeat re-serves rotated request batches through
+    # one jitted program and reports the sustained rate
+    serve_main(["--state", srv, "--requests", "3:2,5:0", "--repeat", "2",
+                "--outdir", str(tmp_path / "served3")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["repeat"] == 2 and rec["images_per_sec"] > 0
+    assert rec["repeat_latency_s_min"] <= rec["repeat_latency_s_median"]
+
     # out-of-grid requests fail loudly
     with pytest.raises(ValueError, match="outside"):
         serve_main(["--state", srv, "--requests", "99:0",

@@ -51,3 +51,16 @@ def test_hlo_audit_copy_parser():
     assert out["total_copy_bytes"] == 128 * 32 * 32 * 4 + 5700 * 16 * 2 + 64 * 64 * 4
     kinds = {r["op"] for r in out["ranked"]}
     assert any(k.startswith("copy-start") for k in kinds)
+
+
+def test_relay_probe_port_state_and_cli():
+    """relay_probe's TCP triage primitive: a port nothing listens on is
+    'refused' (the DEAD-relay signature); the CLI parses. The subprocess
+    probe itself is exercised operationally (bench.py shares its logic),
+    not here — under the CPU-forced test config it would hang on the axon
+    plugin by design."""
+    from relay_probe import RELAY_PORT, port_state
+
+    assert isinstance(RELAY_PORT, int)
+    # port 1 on localhost: nothing listens there in this sandbox
+    assert port_state(port=1, timeout=2.0) in ("refused", "timeout")
