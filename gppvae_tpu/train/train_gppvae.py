@@ -153,7 +153,9 @@ class GPPVAETrainConfig:
     # per-epoch drift) bounded as steps-per-epoch grows — set
     # k ≈ (N/bs)/45 to reproduce benchmark-shape dynamics at any N instead
     # of rescaling learning rates. 1 = step per minibatch (reference
-    # semantics, default).
+    # semantics, default); -1 = AUTO: resolve that rule from the dataset's
+    # true N at setup (resolve_grad_accum), so large-N runs get the
+    # benchmark-shape optimizer cadence without hand-computing k.
     grad_accum_steps: int = 1
     # sub-epoch Taylor refresh: re-run Phase A+B (full-dataset encode +
     # surrogate re-expansion) every k minibatch steps INSIDE the epoch,
@@ -316,6 +318,22 @@ def make_optimizer(lr: float, clip_grad_norm: float = 1e5,
         # touching learning rates (BASELINE.md "large-N surrogate drift").
         opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps)
     return opt
+
+
+def resolve_grad_accum(grad_accum_steps: int, num_train: int,
+                       batch_size: int) -> int:
+    """Resolve the grad_accum_steps knob: -1 = auto ⇒ k ≈ (N/bs)/45, the
+    round-3 rule that keeps the per-epoch Adam path length at the
+    benchmark shape's ~45 steps/epoch for any N (BASELINE.md "large-N
+    surrogate drift"); explicit positive values pass through."""
+    if grad_accum_steps == -1:
+        steps_per_epoch = num_batches(num_train, batch_size)
+        return max(1, round(steps_per_epoch / 45))
+    if grad_accum_steps < 1:
+        raise ValueError(
+            f"grad_accum_steps must be >= 1 or -1 (auto), got {grad_accum_steps}"
+        )
+    return grad_accum_steps
 
 
 def _split_gp_aux(gp_params):
@@ -740,10 +758,10 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
     nystrom_idx = None
     if config.object_kernel == "rbf-nystrom":
         nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-    opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm,
-                             config.grad_accum_steps)
-    opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm,
-                            config.grad_accum_steps)
+    accum = resolve_grad_accum(config.grad_accum_steps, num_train,
+                               config.batch_size)
+    opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm, accum)
+    opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm, accum)
     ov_state = opt_vae.init(params["vae"])
     og_state = opt_gp.init(params["gp"])
     start_epoch = 0
@@ -1017,10 +1035,10 @@ def _lower_fused(dataset, config: GPPVAETrainConfig, mesh=None,
         nystrom_idx = None
         if config.object_kernel == "rbf-nystrom":
             nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
-        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm,
-                                 config.grad_accum_steps)
-        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm,
-                                config.grad_accum_steps)
+        accum = resolve_grad_accum(config.grad_accum_steps, num_train,
+                                   config.batch_size)
+        opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm, accum)
+        opt_gp = make_optimizer(config.lr_gp, config.clip_grad_norm, accum)
         loop = _Loop(model, opt_vae, opt_gp, config, num_train, mesh,
                      nystrom_idx=nystrom_idx)
         a = arrays
@@ -1086,7 +1104,8 @@ def main(argv=None):
                         "spike poisoning (<=0 disables)")
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="one optimizer step per k minibatches (large-N "
-                        "trust-region knob; k ~ (N/bs)/45)")
+                        "trust-region knob; k ~ (N/bs)/45; -1 = auto-apply "
+                        "that rule from the dataset's N)")
     p.add_argument("--refresh_every_steps", type=int, default=0,
                    help="re-expand the Taylor surrogate every k minibatch "
                         "steps inside the epoch (0 = once per epoch)")

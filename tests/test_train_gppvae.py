@@ -221,6 +221,40 @@ def test_sat_penalty_knob_live_and_harmless(small_ds, pretrained_vae):
     )
 
 
+def test_resolve_grad_accum_auto():
+    """grad_accum_steps=-1 resolves the documented k ≈ (N/bs)/45 rule from
+    the dataset's true N; explicit values pass through; nonsense rejected."""
+    import pytest as _pytest
+
+    from gppvae_tpu.train.train_gppvae import resolve_grad_accum
+
+    assert resolve_grad_accum(1, 5700, 128) == 1
+    assert resolve_grad_accum(7, 5700, 128) == 7
+    # benchmark shape: ceil(5700/128) = 45 steps/epoch → k = 1
+    assert resolve_grad_accum(-1, 5700, 128) == 1
+    # 16× N: 713 steps/epoch → k = 16 (the BASELINE.md large-N rule)
+    assert resolve_grad_accum(-1, 16 * 5700, 128) == 16
+    assert resolve_grad_accum(-1, 64, 128) == 1  # tiny N floors at 1
+    with _pytest.raises(ValueError, match="grad_accum_steps"):
+        resolve_grad_accum(0, 5700, 128)
+
+
+def test_grad_accum_auto_trains(small_ds, pretrained_vae):
+    """The -1 auto knob reaches the trainer end-to-end (resolves to k=1 at
+    this tiny N, so it must be bit-identical to the default)."""
+    kw = dict(
+        mode="joint", zdim=8, epochs=2, batch_size=16, seed=0,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+    vp = pretrained_vae.vae_params
+    base = train_gppvae(small_ds, GPPVAETrainConfig(**kw), vae_params=vp)
+    auto = train_gppvae(small_ds, GPPVAETrainConfig(**kw, grad_accum_steps=-1),
+                        vae_params=vp)
+    for a, b in zip(auto.history, base.history):
+        assert a["loss"] == b["loss"] and a["oos_mse"] == b["oos_mse"]
+
+
 def test_grad_accum_steps(small_ds, pretrained_vae):
     """Gradient accumulation (the large-N trust-region knob): k>1 trains,
     stays finite, genuinely changes the step cadence (trajectory differs
