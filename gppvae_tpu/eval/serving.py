@@ -239,6 +239,81 @@ def x_map_from_meta(meta: dict, in_dim: int):
     )
 
 
+def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
+                      args, lines=None) -> None:
+    """Persistent serving loop (serve --stdin): one request batch per input
+    line ('d:q,d:q,…'), one JSON response line + .npz per batch, EOF ends.
+
+    TPU-native shape discipline: every line is padded (and, past
+    --max_batch, chunked) to ONE fixed batch size, so the whole loop runs a
+    single compiled program — a varying-length request stream never
+    triggers a recompile (CLAUDE.md: fresh programs cost ~30-60 s through
+    the relay; a naive per-shape jit would pay that on every new batch
+    size). `lines` overrides sys.stdin for tests."""
+    import json
+    import os
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    B = int(args.max_batch)
+    if B < 1:
+        raise SystemExit("serve: --max_batch must be >= 1")
+    P, Q = int(state.X.shape[0]), int(state.W.shape[0])
+    served = jax.jit(
+        lambda s, dd, qq: predict_images(model, s, dd, qq, x_map=x_map,
+                                         extra_effects=extra, return_var=True)
+    )
+    zeros = jnp.zeros((B,), jnp.int32)
+    jax.block_until_ready(served(state, zeros, zeros))  # the ONE compile
+    os.makedirs(args.outdir, exist_ok=True)
+    print(json.dumps({"ready": True, "grid": [P, Q], "max_batch": B}),
+          flush=True)
+
+    for k, line in enumerate(lines if lines is not None else sys.stdin):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            pairs = [tuple(int(x) for x in r.split(":"))
+                     for r in line.split(",")]
+            for d0, q0 in pairs:
+                if not (0 <= d0 < P and 0 <= q0 < Q):
+                    raise ValueError(
+                        f"request {d0}:{q0} outside the {P}×{Q} grid"
+                    )
+        except ValueError as e:
+            print(json.dumps({"line": k, "error": str(e)}), flush=True)
+            continue
+        t0 = time.perf_counter()
+        d_all = np.fromiter((r[0] for r in pairs), np.int32)
+        q_all = np.fromiter((r[1] for r in pairs), np.int32)
+        imgs, var = [], []
+        for s0 in range(0, len(pairs), B):
+            dd = np.zeros((B,), np.int32)
+            qq = np.zeros((B,), np.int32)
+            chunk = slice(s0, min(s0 + B, len(pairs)))
+            n = chunk.stop - chunk.start
+            dd[:n], qq[:n] = d_all[chunk], q_all[chunk]
+            y, v = served(state, jnp.asarray(dd), jnp.asarray(qq))
+            imgs.append(np.asarray(y[:n]))
+            var.append(np.asarray(v[:n]))
+        y = np.concatenate(imgs, axis=0)
+        var = np.concatenate(var, axis=0)
+        npz = os.path.join(args.outdir, f"served_{k:04d}.npz")
+        np.savez_compressed(npz, images=y, objects=d_all, views=q_all,
+                            posterior_var=var)
+        print(json.dumps({
+            "line": k, "n_requests": len(pairs),
+            "latency_s": round(time.perf_counter() - t0, 5),
+            "posterior_var": [round(float(v0), 6) for v0 in var],
+            "npz": npz,
+        }), flush=True)
+
+
 def main(argv=None):
     """Serve conditional generations from an exported artifact:
 
@@ -263,8 +338,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="GPPVAE serving CLI")
     p.add_argument("--state", required=True,
                    help="server-state artifact from generate --export_server")
-    p.add_argument("--requests", required=True,
+    p.add_argument("--requests", default=None,
                    help="comma-separated object:view pairs, e.g. 3:2,5:0")
+    p.add_argument("--stdin", action="store_true",
+                   help="persistent serving loop: read one request batch "
+                        "per stdin line ('3:2,5:0' format), answer each "
+                        "with a JSON line (+ .npz under --outdir), exit on "
+                        "EOF. Batches are padded to --max_batch so EVERY "
+                        "line reuses ONE compiled program (no per-shape "
+                        "recompiles — the XLA-native way to serve varying "
+                        "request sizes)")
+    p.add_argument("--max_batch", type=int, default=64,
+                   help="--stdin mode: fixed compiled batch size; longer "
+                        "lines are split into chunks of this size")
     p.add_argument("--sample", type=int, default=0,
                    help="decode K posterior draws per cell instead of the mean")
     p.add_argument("--var", action="store_true",
@@ -305,6 +391,12 @@ def main(argv=None):
     )
     x_map = x_map_from_meta(meta, state.X.shape[1])
     extra = tuple(meta.get("extra_effects", ()))
+
+    if args.stdin == (args.requests is not None):
+        raise SystemExit("serve: pass exactly one of --requests or --stdin")
+    if args.stdin:
+        _serve_stdin_loop(model, state, x_map, extra, args)
+        return
 
     pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]
     P, Q = state.X.shape[0], state.W.shape[0]

@@ -301,6 +301,49 @@ def test_export_meta_roundtrips_decoder_lowering(tmp_path, capsys):
                                atol=0.02)
 
 
+def test_serve_stdin_loop(tmp_path, capsys, trained):
+    """Persistent serving loop: varying-length request lines all run
+    through ONE fixed-shape compiled program (padded, chunked past
+    max_batch); answers match direct predict_images exactly; bad lines get
+    an error response without killing the loop."""
+    import argparse
+    import json
+
+    from gppvae_tpu.eval.serving import _serve_stdin_loop
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    args = argparse.Namespace(max_batch=4, outdir=str(tmp_path))
+    lines = [
+        "1:2,3:0",            # small batch (padded 2 → 4)
+        "",                   # blank — skipped
+        "0:0,1:1,2:2,3:3,4:4,5:5",  # 6 > max_batch → two chunks
+        "99:0",               # out of grid → error line, loop continues
+        "2:1",
+    ]
+    _serve_stdin_loop(res.model, state, None, (), args, lines=lines)
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["ready"] is True and out[0]["max_batch"] == 4
+    ok = [r for r in out[1:] if "error" not in r]
+    err = [r for r in out[1:] if "error" in r]
+    assert [r["n_requests"] for r in ok] == [2, 6, 1]
+    assert len(err) == 1 and "outside" in err[0]["error"]
+
+    # exactness vs the direct path (padding/chunking must not leak)
+    rec = ok[1]
+    data = np.load(rec["npz"])
+    d = jnp.asarray(data["objects"])
+    q = jnp.asarray(data["views"])
+    y_ref, v_ref = predict_images(res.model, state, d, q, return_var=True)
+    np.testing.assert_allclose(data["images"], np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(data["posterior_var"], np.asarray(v_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_serving_jit_stable_shapes(trained):
     """One compiled program serves arbitrary request batches of one size."""
     ds, res = trained
