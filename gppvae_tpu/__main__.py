@@ -3,6 +3,7 @@
 Commands mirror the reference's per-script entry points (SURVEY.md §2.1)
 plus the rebuild's eval tooling:
 
+    build-data    build + store a GridDataset .npz   (data/build_cli.py)
     train-vae     vanilla conv-VAE pretrain          (train/train_vae.py)
     train-gppvae  GPPVAE dis/joint training          (train/train_gppvae.py)
     generate      out-of-sample conditional generation (eval/generate.py)
@@ -14,6 +15,7 @@ plus the rebuild's eval tooling:
 import sys
 
 _COMMANDS = {
+    "build-data": ("gppvae_tpu.data.build_cli", "main"),
     "train-vae": ("gppvae_tpu.train.train_vae", "main"),
     "train-gppvae": ("gppvae_tpu.train.train_gppvae", "main"),
     "generate": ("gppvae_tpu.eval.generate", "main"),

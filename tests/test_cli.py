@@ -89,6 +89,41 @@ def test_train_vae_flags_reach_config(monkeypatch):
     assert c.enc_features == (8, 16) and c.dec_features == (16, 8)
 
 
+def test_build_data_cli_roundtrip(tmp_path, capsys):
+    """build-data writes a GridDataset .npz that trains bit-identically to
+    the in-process build (the reference's build-once / consume-artifact
+    dataset flow, SURVEY.md §3.5)."""
+    import json
+
+    import numpy as np
+
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.data.build_cli import main as build_main
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+    from gppvae_tpu.utils.metrics import NullLogger
+
+    out = str(tmp_path / "ds.npz")
+    build_main(["--data", "synthetic", "--num_objects", "8",
+                "--num_views", "8", "--seed", "0", "--out", out])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["num_objects"] == 8 and rec["n_heldout"] == 8
+
+    from gppvae_tpu.config.datasets import build_dataset_from_flag
+
+    ds_npz = build_dataset_from_flag("npz:" + out, 8, 8, 0)
+    ds_mem = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                                  seed=0)
+    np.testing.assert_array_equal(ds_npz.images, ds_mem.images)
+    np.testing.assert_array_equal(ds_npz.train_idx, ds_mem.train_idx)
+
+    cfg = GPPVAETrainConfig(mode="joint", zdim=8, epochs=1, batch_size=16,
+                            obj_feature_dim=4, view_num_freqs=1,
+                            enc_features=(8, 16), dec_features=(16, 8))
+    a = train_gppvae(ds_npz, cfg, log=NullLogger()).history[0]
+    b = train_gppvae(ds_mem, cfg, log=NullLogger()).history[0]
+    assert a["loss"] == b["loss"] and a["oos_mse"] == b["oos_mse"]
+
+
 def test_compile_cache_env_opt_in(tmp_path):
     """GPPVAE_COMPILE_CACHE=<dir> wires jax's persistent compilation cache
     at package import (opt-in; measured 6.8x faster process restart of the
