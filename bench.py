@@ -116,35 +116,58 @@ def main():
     from gppvae_tpu.utils.metrics import NullLogger
 
     configs = {}
+
+    def _safe(name, fn):
+        """Fault-isolate a non-headline config: a mid-run backend failure
+        (round 3's relay died ~4 h into the session) degrades ONE entry to
+        an error record instead of erasing the whole artifact. The headline
+        block stays unwrapped — without it there is no metric and rc=1 is
+        the honest outcome."""
+        try:
+            out = fn()
+            if out is not None:
+                configs[name] = out
+            return out
+        except Exception as e:
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# bench: config {name!r} failed: {e}", file=sys.stderr)
+            return None
+
     ds = build_rotated_digits(
         "synthetic", num_objects=400, num_views=16, image_size=32, seed=0,
         cache_dir="/tmp/gppvae_bench_cache",
     )
 
     # ---- config 1: vanilla conv-VAE pretrain (BASELINE.json configs[0])
-    vres = train_vae(
-        ds,
-        VAETrainConfig(zdim=16, epochs=16, batch_size=128, seed=0,
-                       epochs_per_dispatch=8),
-        log=NullLogger(),
-    )
-    configs["vae_pretrain"] = {
-        **_sec_stats(vres.history, 8),
-        "mse": round(vres.history[-1]["mse"], 5),
-    }
+    def _vae_pretrain():
+        vres = train_vae(
+            ds,
+            VAETrainConfig(zdim=16, epochs=16, batch_size=128, seed=0,
+                           epochs_per_dispatch=8),
+            log=NullLogger(),
+        )
+        return {
+            **_sec_stats(vres.history, 8),
+            "mse": round(vres.history[-1]["mse"], 5),
+        }
+
+    _safe("vae_pretrain", _vae_pretrain)
 
     # ---- config 2: GPPVAE-dis (fixed Fourier view kernel)
-    dres = train_gppvae(
-        ds,
-        GPPVAETrainConfig(mode="dis", zdim=16, epochs=20, batch_size=128,
-                          obj_feature_dim=8, view_num_freqs=3, seed=0,
-                          epochs_per_dispatch=10),
-        log=NullLogger(),
-    )
-    configs["gppvae_dis"] = {
-        **_sec_stats(dres.history, 10),
-        "oos_mse": round(dres.history[-1]["oos_mse"], 5),
-    }
+    def _dis():
+        dres = train_gppvae(
+            ds,
+            GPPVAETrainConfig(mode="dis", zdim=16, epochs=20, batch_size=128,
+                              obj_feature_dim=8, view_num_freqs=3, seed=0,
+                              epochs_per_dispatch=10),
+            log=NullLogger(),
+        )
+        return {
+            **_sec_stats(dres.history, 10),
+            "oos_mse": round(dres.history[-1]["oos_mse"], 5),
+        }
+
+    _safe("gppvae_dis", _dis)
 
     # ---- config 3: GPPVAE-joint, f32 reference precision (the comparable
     # number for rounds 1-2; retained in extras)
@@ -153,35 +176,45 @@ def main():
         obj_feature_dim=8, view_num_freqs=3, seed=0,
         epochs_per_dispatch=10,
     )
-    t0 = time.perf_counter()
-    jres = train_gppvae(ds, jcfg, log=NullLogger())
-    joint_wall = time.perf_counter() - t0
-    f32_sec = _median_sec(jres.history, 10)
-    configs["gppvae_joint_f32"] = {
-        **_sec_stats(jres.history, 10),
-        "oos_mse": round(jres.history[-1]["oos_mse"], 5),
-        "images_per_sec": round(len(ds.train_idx) / f32_sec),
-        "config": "float32 + resize decoder (reference precision)",
-    }
+    jres = None
+    joint_wall = f32_sec = None
+
+    def _joint_f32():
+        nonlocal jres, joint_wall, f32_sec
+        t0 = time.perf_counter()
+        jres = train_gppvae(ds, jcfg, log=NullLogger())
+        joint_wall = time.perf_counter() - t0
+        f32_sec = _median_sec(jres.history, 10)
+        return {
+            **_sec_stats(jres.history, 10),
+            "oos_mse": round(jres.history[-1]["oos_mse"], 5),
+            "images_per_sec": round(len(ds.train_idx) / f32_sec),
+            "config": "float32 + resize decoder (reference precision)",
+        }
+
+    _safe("gppvae_joint_f32", _joint_f32)
 
     # ---- config 3a: f32 + subpixel(dilated) — round 3 overturned the
     # "f32 subpixel loses at 32²" negative result: the transposed-conv
     # lowering makes full f32 precision nearly as fast as bf16 (BASELINE.md
     # round-3 A/B), removing the precision/speed tradeoff for users who
     # want reference numerics at speed.
-    fscfg = GPPVAETrainConfig(
-        mode="joint", zdim=16, epochs=30, batch_size=128,
-        obj_feature_dim=8, view_num_freqs=3, seed=0,
-        epochs_per_dispatch=10, dec_upsample="subpixel",
-    )
-    fsres = train_gppvae(ds, fscfg, log=NullLogger())
-    fs_sec = _median_sec(fsres.history, 10)
-    configs["gppvae_joint_f32_subpixel"] = {
-        **_sec_stats(fsres.history, 10),
-        "oos_mse": round(fsres.history[-1]["oos_mse"], 5),
-        "images_per_sec": round(len(ds.train_idx) / fs_sec),
-        "config": "float32 + subpixel(dilated) decoder (exact rewrite)",
-    }
+    def _joint_f32_subpixel():
+        fscfg = GPPVAETrainConfig(
+            mode="joint", zdim=16, epochs=30, batch_size=128,
+            obj_feature_dim=8, view_num_freqs=3, seed=0,
+            epochs_per_dispatch=10, dec_upsample="subpixel",
+        )
+        fsres = train_gppvae(ds, fscfg, log=NullLogger())
+        fs_sec = _median_sec(fsres.history, 10)
+        return {
+            **_sec_stats(fsres.history, 10),
+            "oos_mse": round(fsres.history[-1]["oos_mse"], 5),
+            "images_per_sec": round(len(ds.train_idx) / fs_sec),
+            "config": "float32 + subpixel(dilated) decoder (exact rewrite)",
+        }
+
+    _safe("gppvae_joint_f32_subpixel", _joint_f32_subpixel)
 
     # ---- config 3b: THE HEADLINE — bf16 compute + subpixel decoder, the
     # TPU-native precision/kernel choice for this model. Accuracy parity is
@@ -225,31 +258,35 @@ def main():
         "flops_phase_c_frac": round(fl["phase_c"] / fl["total"], 3),
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved / BF16_PEAK_FLOPS, 4),
-        "f32_resize": {
+    }
+    if f32_sec is not None:
+        mfu["f32_resize"] = {
             "flops_per_epoch": fl_f32["total"],
             "achieved_tflops": round(fl_f32["total"] / f32_sec / 1e12, 2),
             "mfu_vs_bf16_peak": round(
                 fl_f32["total"] / f32_sec / BF16_PEAK_FLOPS, 4
             ),
-        },
-    }
+        }
 
     # ---- config 4: face-view GPPVAE at 128×128 (object×pose kernel);
     # subpixel decoder is an exact f32 rewrite and measures 1.26× at this
     # shape (round-2 A/B), so the benched config uses it
-    fds = build_faceplace("synthetic", num_people=50, num_poses=8,
-                          image_size=128, seed=0)
-    fres = train_gppvae(
-        fds,
-        GPPVAETrainConfig(mode="joint", zdim=32, epochs=6, batch_size=64,
-                          obj_feature_dim=8, view_num_freqs=3, seed=0,
-                          epochs_per_dispatch=3, dec_upsample="subpixel"),
-        log=NullLogger(),
-    )
-    configs["face_view_128"] = {
-        **_sec_stats(fres.history, 3),
-        "oos_mse": round(fres.history[-1]["oos_mse"], 5),
-    }
+    def _face_view():
+        fds = build_faceplace("synthetic", num_people=50, num_poses=8,
+                              image_size=128, seed=0)
+        fres = train_gppvae(
+            fds,
+            GPPVAETrainConfig(mode="joint", zdim=32, epochs=6, batch_size=64,
+                              obj_feature_dim=8, view_num_freqs=3, seed=0,
+                              epochs_per_dispatch=3, dec_upsample="subpixel"),
+            log=NullLogger(),
+        )
+        return {
+            **_sec_stats(fres.history, 3),
+            "oos_mse": round(fres.history[-1]["oos_mse"], 5),
+        }
+
+    _safe("face_view_128", _face_view)
 
     # ---- config 5: OOS conditional-generation throughput: full protocol
     # (encoder refresh of the train latents + GP-predictive latents for the
@@ -261,7 +298,6 @@ def main():
     from gppvae_tpu.eval.oos import predict_heldout
     from gppvae_tpu.models import encode_all
 
-    model = jres.model
     a = {
         "images_tr": jnp.asarray(ds.images[ds.train_idx]),
         "d_tr": jnp.asarray(ds.object_ids[ds.train_idx]),
@@ -270,36 +306,43 @@ def main():
         "d_ho": jnp.asarray(ds.object_ids[ds.heldout_idx]),
         "q_ho": jnp.asarray(ds.view_ids[ds.heldout_idx]),
     }
-
-    @jax.jit
-    def oos_run(params, fixed_W):
-        Z0 = encode_all(model, params["vae"], a["images_tr"], 1024)
-        return predict_heldout(
-            model, params, fixed_W, Z0, a["d_tr"], a["q_tr"],
-            a["d_ho"], a["q_ho"], a["y_ho"],
-        )
-
-    def perturb(params, i):
-        gp_p = dict(params["gp"])
-        gp_p["X"] = gp_p["X"] + 1e-7 * (i + 1)
-        return {"vae": params["vae"], "gp": gp_p}
-
-    _ = jax.device_get(oos_run(jres.params, jres.fixed_W))  # compile
-    reps = []
-    oos_mse = None
-    for i in range(3):
-        t0 = time.perf_counter()
-        y_pred, mse = oos_run(perturb(jres.params, i), jres.fixed_W)
-        y_pred = jax.device_get(y_pred)  # force full readback
-        reps.append(time.perf_counter() - t0)
-        oos_mse = float(mse)
     n_ho = len(ds.heldout_idx)
-    configs["oos_generation"] = {
-        "images_per_sec": round(n_ho / min(reps)),
-        "n_heldout": n_ho,
-        "heldout_mse": round(oos_mse, 5),
-        "config": "float32 + resize decoder (full training-loop protocol)",
-    }
+
+    def _oos_generation():
+        if jres is None:
+            raise RuntimeError("upstream gppvae_joint_f32 failed")
+        model = jres.model
+
+        @jax.jit
+        def oos_run(params, fixed_W):
+            Z0 = encode_all(model, params["vae"], a["images_tr"], 1024)
+            return predict_heldout(
+                model, params, fixed_W, Z0, a["d_tr"], a["q_tr"],
+                a["d_ho"], a["q_ho"], a["y_ho"],
+            )
+
+        def perturb(params, i):
+            gp_p = dict(params["gp"])
+            gp_p["X"] = gp_p["X"] + 1e-7 * (i + 1)
+            return {"vae": params["vae"], "gp": gp_p}
+
+        _ = jax.device_get(oos_run(jres.params, jres.fixed_W))  # compile
+        reps = []
+        oos_mse = None
+        for i in range(3):
+            t0 = time.perf_counter()
+            y_pred, mse = oos_run(perturb(jres.params, i), jres.fixed_W)
+            y_pred = jax.device_get(y_pred)  # force full readback
+            reps.append(time.perf_counter() - t0)
+            oos_mse = float(mse)
+        return {
+            "images_per_sec": round(n_ho / min(reps)),
+            "n_heldout": n_ho,
+            "heldout_mse": round(oos_mse, 5),
+            "config": "float32 + resize decoder (full training-loop protocol)",
+        }
+
+    _safe("oos_generation", _oos_generation)
 
     # ---- config 5b: SERVING throughput — the deployment path: the GP
     # posterior is folded into an R-sized core ONCE (eval/serving.py), each
@@ -310,65 +353,72 @@ def main():
     # (ADVICE.md round-2); the config field records it.
     from gppvae_tpu.eval import build_server_state, predict_images
 
-    smodel = fres_.model
-    state = build_server_state(
-        smodel, fres_.params, fres_.fixed_W, a["images_tr"], a["d_tr"],
-        a["q_tr"],
-    )
-    jax.block_until_ready(state)
-    served = jax.jit(lambda s, d, q: predict_images(smodel, s, d, q))
-    P, Q = ds.num_objects, ds.num_views
-    d_req, q_req = a["d_ho"], a["q_ho"]
-    _ = jax.device_get(served(state, d_req, q_req))  # compile
-    reps = []
-    for i in range(3):
-        dd = (d_req + i + 1) % P
-        qq = (q_req + i + 1) % Q
-        t0 = time.perf_counter()
-        y = jax.device_get(served(state, dd, qq))  # full readback
-        reps.append(time.perf_counter() - t0)
+    def _serving():
+        smodel = fres_.model
+        state = build_server_state(
+            smodel, fres_.params, fres_.fixed_W, a["images_tr"], a["d_tr"],
+            a["q_tr"],
+        )
+        jax.block_until_ready(state)
+        served = jax.jit(lambda s, d, q: predict_images(smodel, s, d, q))
+        P, Q = ds.num_objects, ds.num_views
+        d_req, q_req = a["d_ho"], a["q_ho"]
+        _ = jax.device_get(served(state, d_req, q_req))  # compile
+        reps = []
+        for i in range(3):
+            dd = (d_req + i + 1) % P
+            qq = (q_req + i + 1) % Q
+            t0 = time.perf_counter()
+            y = jax.device_get(served(state, dd, qq))  # full readback
+            reps.append(time.perf_counter() - t0)
 
-    # sustained capacity: K request batches inside ONE dispatch (single
-    # per-image checksum readback) — the relay's ~30 ms dispatch latency
-    # otherwise swamps a ~1 ms decode batch (CLAUDE.md microbench lesson)
-    K = 50
+        # sustained capacity: K request batches inside ONE dispatch (single
+        # per-image checksum readback) — the relay's ~30 ms dispatch latency
+        # otherwise swamps a ~1 ms decode batch (CLAUDE.md microbench lesson)
+        K = 50
 
-    @jax.jit
-    def sustained(state, d0, q0):
-        def step(_, i):
-            y = predict_images(smodel, state, (d0 + i) % P, (q0 + i) % Q)
-            return None, jnp.sum(y, axis=(1, 2, 3))
+        @jax.jit
+        def sustained(state, d0, q0):
+            def step(_, i):
+                y = predict_images(smodel, state, (d0 + i) % P, (q0 + i) % Q)
+                return None, jnp.sum(y, axis=(1, 2, 3))
 
-        _, sums = jax.lax.scan(step, None, jnp.arange(K, dtype=jnp.int32))
-        return sums
+            _, sums = jax.lax.scan(step, None, jnp.arange(K, dtype=jnp.int32))
+            return sums
 
-    _ = jax.device_get(sustained(state, d_req, q_req))  # compile
-    # request vectors materialized OUTSIDE the timed window (a changing
-    # Python int inside it would add eager dispatches to the measurement —
-    # CLAUDE.md relay lesson)
-    req = [jax.device_put((d_req + 7 * i) % P) for i in range(3)]
-    jax.block_until_ready(req)
-    sreps = []
-    for dd in req:
-        t0 = time.perf_counter()
-        _ = jax.device_get(sustained(state, dd, q_req))
-        sreps.append(time.perf_counter() - t0)
-    configs["oos_serving"] = {
-        "latency_s_per_batch": round(min(reps), 4),
-        "batch": n_ho,
-        "sustained_images_per_sec": round(K * n_ho / min(sreps)),
-        "config": "bfloat16 + subpixel decoder (headline fast mode)",
-    }
+        _ = jax.device_get(sustained(state, d_req, q_req))  # compile
+        # request vectors materialized OUTSIDE the timed window (a changing
+        # Python int inside it would add eager dispatches to the measurement
+        # — CLAUDE.md relay lesson)
+        req = [jax.device_put((d_req + 7 * i) % P) for i in range(3)]
+        jax.block_until_ready(req)
+        sreps = []
+        for dd in req:
+            t0 = time.perf_counter()
+            _ = jax.device_get(sustained(state, dd, q_req))
+            sreps.append(time.perf_counter() - t0)
+        return {
+            "latency_s_per_batch": round(min(reps), 4),
+            "batch": n_ho,
+            "sustained_images_per_sec": round(K * n_ho / min(sreps)),
+            "config": "bfloat16 + subpixel decoder (headline fast mode)",
+        }
+
+    _safe("oos_serving", _serving)
 
     # ---- accuracy self-certification (round-2 VERDICT weak #2): the full
     # validate.py protocol on REAL sklearn digits in the headline fast mode
     # — the driver artifact alone now proves the benched configs converge
     # (joint beats every baseline), not just that they are fast.
-    from validate import run_validation
+    def _accuracy():
+        from validate import run_validation
 
-    t0 = time.perf_counter()
-    configs["accuracy"] = run_validation(fast=True, emit=lambda *a, **k: None)
-    configs["accuracy"]["wall_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        out = run_validation(fast=True, emit=lambda *a, **k: None)
+        out["wall_s"] = round(time.perf_counter() - t0, 1)
+        return out
+
+    _safe("accuracy", _accuracy)
 
     # stable program identity for drift arbitration (round-3 VERDICT weak
     # #6): same sha ⇒ same fused program, so only the relay/wall changed.
@@ -396,7 +446,9 @@ def main():
         "extra": {
             "device": str(jax.devices()[0]),
             "n_train": int(len(ds.train_idx)),
-            "joint_total_wall_s": round(joint_wall, 1),
+            "joint_total_wall_s": (
+                round(joint_wall, 1) if joint_wall is not None else None
+            ),
             "program_sha1": prog_sha,
             "configs": configs,
             "mfu": mfu,

@@ -1,0 +1,79 @@
+"""bench.py artifact contract: the driver records bench's ONE JSON line as
+the round's perf artifact (BENCH_rNN.json). Round 3 lost its artifact to a
+single backend failure; these tests pin the round-4 resilience properties
+WITHOUT running the heavy benchmark itself (trainers are stubbed):
+
+  * a non-headline config failure degrades to an {"error": …} entry — the
+    final JSON line still prints with the headline metric;
+  * the headline value is the median of post-compile epochs;
+  * _await_backend gates entry (stubbed OK here).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+class _FakeRes:
+    def __init__(self, n_epochs, sec=0.015):
+        self.history = [
+            {"sec_epoch": sec + 0.001 * (i % 3), "oos_mse": 0.001,
+             "mse": 0.002, "loss": 1.0}
+            for i in range(n_epochs)
+        ]
+        # no .model/.params → downstream serving/oos blocks raise inside
+        # _safe and must degrade to error entries, not kill the run
+
+
+def test_bench_emits_artifact_despite_subconfig_failures(monkeypatch, capsys):
+    import bench
+    import gppvae_tpu.train as tr
+
+    monkeypatch.setattr(bench, "_await_backend", lambda **kw: (True, "cpu"))
+    monkeypatch.setattr(
+        tr, "train_vae",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("relay died")),
+    )
+    monkeypatch.setattr(tr, "train_gppvae",
+                        lambda ds, cfg, **k: _FakeRes(cfg.epochs))
+    # keep the hash cheap/irrelevant (fetch the MODULE via sys.modules —
+    # the package attr of the same name is the function patched above)
+    import importlib
+    import sys as _sys
+
+    importlib.import_module("gppvae_tpu.train.train_gppvae")
+    tg = _sys.modules["gppvae_tpu.train.train_gppvae"]
+    monkeypatch.setattr(tg, "fused_epoch_program_hash",
+                        lambda *a, **k: "deadbeefdeadbeef")
+    # the accuracy block runs the full validate protocol — stub it
+    import validate
+
+    monkeypatch.setattr(validate, "run_validation",
+                        lambda **kw: {"verdict": "STUBBED"})
+
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+
+    assert rec["metric"] == "rotated_mnist_gppvae_joint_sec_per_epoch"
+    # median of the fake post-compile epochs: sec in {0.015, 0.016, 0.017}
+    assert rec["value"] == pytest.approx(0.016, abs=1e-9)
+    cfgs = rec["extra"]["configs"]
+    assert "error" in cfgs["vae_pretrain"], "failed config must be recorded"
+    # downstream consumers of the fake result objects degrade, not crash
+    assert "error" in cfgs["oos_generation"]
+    assert "error" in cfgs["oos_serving"]
+    # healthy configs still report numbers
+    assert cfgs["gppvae_joint"]["sec_epoch_min"] == 0.015
+    assert np.isfinite(cfgs["gppvae_joint"]["oos_mse"])
+    assert rec["extra"]["program_sha1"] == "deadbeefdeadbeef"
+
+
+def test_bench_sec_stats_distribution():
+    import bench
+
+    hist = [{"sec_epoch": s} for s in (9.0, 9.0, 0.03, 0.01, 0.02)]
+    stats = bench._sec_stats(hist, skip=2)
+    assert stats == {"sec_epoch": 0.02, "sec_epoch_min": 0.01,
+                     "sec_epoch_spread": 0.02}
