@@ -26,3 +26,50 @@ def test_fused_gppvae_on_tpu():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
     assert result.history[-1]["oos_mse"] < result.history[0]["oos_mse"]
+
+
+def test_serving_fold_and_throughput_on_tpu():
+    """The deployment path on the real chip: fold the posterior once,
+    answer request batches through ONE compiled program, posterior
+    sampling included — the machinery behind bench's oos_serving number
+    and the serve CLI's --repeat/--stdin modes."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.default_backend() == "tpu"
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.eval import build_server_state, predict_images, sample_images
+    from gppvae_tpu.train import GPPVAETrainConfig, train_gppvae
+    from gppvae_tpu.utils.metrics import NullLogger
+
+    ds = build_rotated_digits("synthetic", num_objects=24, num_views=8, seed=0)
+    cfg = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=2, batch_size=32,
+        obj_feature_dim=4, view_num_freqs=2,
+        enc_features=(8, 16), dec_features=(16, 8),
+        compute_dtype="bfloat16", dec_upsample="subpixel",
+    )
+    res = train_gppvae(ds, cfg, log=NullLogger())
+    tr = ds.train_idx
+    state = build_server_state(
+        res.model, res.params, res.fixed_W,
+        jnp.asarray(ds.images[tr]), jnp.asarray(ds.object_ids[tr]),
+        jnp.asarray(ds.view_ids[tr]),
+    )
+    served = jax.jit(lambda s, d, q: predict_images(res.model, s, d, q))
+    d = jnp.asarray(ds.object_ids[ds.heldout_idx])
+    q = jnp.asarray(ds.view_ids[ds.heldout_idx])
+    y = jax.device_get(served(state, d, q))  # compile + answer
+    assert y.shape == (len(ds.heldout_idx), *ds.image_shape)
+    assert np.isfinite(y).all()
+    t0 = time.perf_counter()
+    for i in range(3):
+        jax.device_get(served(state, (d + i + 1) % 24, (q + i + 1) % 8))
+    sec = (time.perf_counter() - t0) / 3
+    assert sec < 5.0, f"warm serve batch took {sec:.2f}s on-chip"
+    y_s = sample_images(res.model, state, d[:2], q[:2],
+                        jax.random.PRNGKey(0), 3)
+    assert y_s.shape == (2, 3, *ds.image_shape)
+    assert np.isfinite(np.asarray(y_s)).all()
