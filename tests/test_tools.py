@@ -64,3 +64,33 @@ def test_relay_probe_port_state_and_cli():
     assert isinstance(RELAY_PORT, int)
     # port 1 on localhost: nothing listens there in this sandbox
     assert port_state(port=1, timeout=2.0) in ("refused", "timeout")
+
+
+def test_shape_explore_tiny_variants(tmp_path, capsys, monkeypatch):
+    """shape_explore's measurement loop (variant build → train → stats →
+    analytic MFU) on monkeypatched tiny variants, including the channel
+    tiler; the real five-shape run is TPU-queue work."""
+    import json
+
+    import shape_explore
+    from gppvae_tpu.data import build_rotated_digits
+
+    def tiny(seed):
+        ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                                  image_size=32, seed=seed)
+        kw = dict(zdim=8, batch_size=16, enc_features=(8, 16),
+                  dec_features=(16, 8))
+        yield "digits32", ds, kw
+        yield "digits32c8", shape_explore._tile_channels(ds, 8), kw
+
+    monkeypatch.setattr(shape_explore, "_variants", tiny)
+    out = str(tmp_path / "shapes.json")
+    shape_explore.main(["--epochs", "2", "--epd", "1", "--out", out])
+    rec = json.loads(open(out).read())["shape_explore"]
+    assert set(rec) == {"digits32", "digits32c8"}
+    assert rec["digits32c8"]["image_shape"] == [32, 32, 8]
+    for r in rec.values():
+        assert r["sec_epoch"] > 0 and r["flops_per_epoch"] > 0
+    # channel tiling must scale the analytic FLOPs up
+    assert (rec["digits32c8"]["flops_per_epoch"]
+            > rec["digits32"]["flops_per_epoch"])
