@@ -6,6 +6,7 @@ plus the rebuild's eval tooling:
     build-data    build + store a GridDataset .npz   (data/build_cli.py)
     train-vae     vanilla conv-VAE pretrain          (train/train_vae.py)
     train-gppvae  GPPVAE dis/joint training          (train/train_gppvae.py)
+    train-cvae    CVAE comparison baseline           (train/train_cvae.py)
     generate      out-of-sample conditional generation (eval/generate.py)
     serve         answer (object, view) requests from an exported
                   server-state artifact               (eval/serving.py)
@@ -18,6 +19,7 @@ _COMMANDS = {
     "build-data": ("gppvae_tpu.data.build_cli", "main"),
     "train-vae": ("gppvae_tpu.train.train_vae", "main"),
     "train-gppvae": ("gppvae_tpu.train.train_gppvae", "main"),
+    "train-cvae": ("gppvae_tpu.train.train_cvae", "main"),
     "generate": ("gppvae_tpu.eval.generate", "main"),
     "serve": ("gppvae_tpu.eval.serving", "main"),
     "plot": ("gppvae_tpu.eval.plots", "main"),

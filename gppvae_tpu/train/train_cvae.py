@@ -10,6 +10,7 @@ GPPVAE-vs-CVAE comparison inside this framework.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Sequence
@@ -191,6 +192,79 @@ def train_cvae(
             history.append(rec)
         done += e
 
+    if config.outdir:
+        from gppvae_tpu.checkpoint import save_train_state, save_vae_weights
+        from gppvae_tpu.eval.panels import save_panel
+
+        # cvae_weights: the same params-subtree artifact shape as the VAE
+        # pretrain's vae_weights (cross-script handoff convention)
+        save_vae_weights(os.path.join(config.outdir, "cvae_weights"), params)
+        save_train_state(
+            os.path.join(config.outdir, "final_state"),
+            {"params": params, "opt_state": opt_state, "epoch": config.epochs},
+        )
+        y_pred, _ = oos_eval(params)
+        k = min(8, len(ho))
+        save_panel(
+            os.path.join(config.outdir, "oos_panel.png"),
+            [
+                np.asarray(y_ho[:k]).reshape(k, *dataset.image_shape),
+                np.asarray(y_pred[:k]).reshape(k, *dataset.image_shape),
+            ],
+        )
     if own_log:
         log.close()
     return CVAETrainResult(params=params, config=config, history=history, model=model)
+
+
+def main(argv=None):
+    """CLI: the paper's CVAE comparison baseline as a standalone driver
+    (reference `pysrc/faceplace/train_cvae.py`-style entry; SURVEY.md §2.1).
+    Flags mirror train_vae where the models share a knob."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="CVAE comparison baseline (view-conditioned VAE, no GP)"
+    )
+    p.add_argument("--data", default="synthetic",
+                   help="rotated-digits source: synthetic | sklearn | mnist:<dir> | faces[:h5path] | npz:<path>")
+    p.add_argument("--outdir", default="./out/cvae")
+    p.add_argument("--zdim", type=int, default=16)
+    p.add_argument("--bs", type=int, default=128)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sigma_y", type=float, default=0.1)
+    p.add_argument("--num_objects", type=int, default=400)
+    p.add_argument("--num_views", type=int, default=16)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dec_upsample", default="resize",
+                   choices=["resize", "subpixel"])
+    p.add_argument("--epochs_per_dispatch", type=int, default=1)
+    p.add_argument("--beta_kl", type=float, default=1.0)
+    p.add_argument("--sat_penalty", type=float, default=1.0,
+                   help="logit saturation barrier weight (<=0 off)")
+    p.add_argument("--enc_features", default="32,64,128",
+                   help="comma-separated encoder conv channels")
+    p.add_argument("--dec_features", default="128,64,32",
+                   help="comma-separated decoder conv channels")
+    args = p.parse_args(argv)
+
+    from gppvae_tpu.config.datasets import build_dataset_from_flag
+
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    config = CVAETrainConfig(
+        zdim=args.zdim, epochs=args.epochs, batch_size=args.bs, lr=args.lr,
+        seed=args.seed, sigma_y=args.sigma_y, beta_kl=args.beta_kl,
+        sat_penalty=args.sat_penalty,
+        compute_dtype=args.dtype, dec_upsample=args.dec_upsample,
+        epochs_per_dispatch=args.epochs_per_dispatch,
+        enc_features=tuple(int(f) for f in args.enc_features.split(",")),
+        dec_features=tuple(int(f) for f in args.dec_features.split(",")),
+        outdir=args.outdir,
+    )
+    train_cvae(ds, config)
+
+
+if __name__ == "__main__":
+    main()

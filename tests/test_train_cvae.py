@@ -20,6 +20,45 @@ def test_cvae_trains_and_oos_improves(tmp_path):
     assert losses[-1] < losses[0]
     assert h[-1]["oos_mse"] < h[0]["oos_mse"]
     assert (tmp_path / "metrics.jsonl").exists()
+    # round-4 driver artifacts: weights handoff + full state + OOS panel
+    assert (tmp_path / "cvae_weights").exists()
+    assert (tmp_path / "final_state").exists()
+    assert (tmp_path / "oos_panel.png").exists()
+    from gppvae_tpu.checkpoint import load_vae_weights
+
+    restored = load_vae_weights(str(tmp_path / "cvae_weights"), result.params)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(result.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cvae_cli_flags_reach_config(monkeypatch):
+    """train-cvae CLI contract: every flag lands in CVAETrainConfig
+    (same discipline as test_cli.py's train-vae/train-gppvae checks)."""
+    import importlib
+
+    mod = importlib.import_module("gppvae_tpu.train.train_cvae")
+    captured = {}
+    monkeypatch.setattr(
+        mod, "train_cvae",
+        lambda ds, config, **kw: captured.update(config=config) or None,
+    )
+    mod.main([
+        "--data", "synthetic", "--num_objects", "6", "--num_views", "4",
+        "--epochs", "2", "--zdim", "5", "--bs", "8", "--lr", "3e-4",
+        "--beta_kl", "0.5", "--sat_penalty", "0.0", "--dtype", "bfloat16",
+        "--dec_upsample", "subpixel", "--epochs_per_dispatch", "2",
+        "--enc_features", "8,16", "--dec_features", "16,8",
+        "--outdir", "/tmp/cli_cfg_test_cvae",
+    ])
+    c = captured["config"]
+    assert c.zdim == 5 and c.batch_size == 8 and c.lr == 3e-4
+    assert c.epochs == 2 and c.epochs_per_dispatch == 2
+    assert c.beta_kl == 0.5 and c.sat_penalty == 0.0
+    assert c.compute_dtype == "bfloat16" and c.dec_upsample == "subpixel"
+    assert c.enc_features == (8, 16) and c.dec_features == (16, 8)
+    assert c.outdir == "/tmp/cli_cfg_test_cvae"
 
 
 def test_cvae_view_conditioning_matters():
