@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--num_objects", type=int, default=400)
     p.add_argument("--num_views", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="spatial size (default: builder's own)")
     args = p.parse_args(argv)
 
     if args.data.startswith("npz:"):
@@ -37,7 +39,8 @@ def main(argv=None):
     from gppvae_tpu.config.datasets import build_dataset_from_flag
 
     ds = build_dataset_from_flag(
-        args.data, args.num_objects, args.num_views, args.seed
+        args.data, args.num_objects, args.num_views, args.seed,
+        image_size=args.image_size,
     )
     ds.save_npz(args.out)
     print(json.dumps({

@@ -115,7 +115,12 @@ def build_rotated_digits(
         )
 
     P, Q = num_objects, num_views
-    base = pad_to(base, (image_size, image_size))  # (P, S, S)
+    if image_size >= base.shape[1]:
+        base = pad_to(base, (image_size, image_size))  # (P, S, S)
+    else:
+        # smaller than the source digits (e.g. 16² quick configs):
+        # zero-pad can't shrink — downsample instead
+        base = resize_bilinear(base, (image_size, image_size))
     angles = np.linspace(0.0, 2 * np.pi, Q, endpoint=False).astype(np.float32)
 
     # rotate every instance through every angle: grid row n = d·Q + q

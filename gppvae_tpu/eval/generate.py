@@ -313,6 +313,9 @@ def main(argv=None):
     # training seed silently rebuilt DIFFERENT synthetic images before —
     # same grid shape, so _check_grid_matches could not catch it)
     p.add_argument("--data", default=None)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="spatial size for built datasets (defaults from the"
+                        " sidecar; builder default otherwise)")
     p.add_argument("--num_objects", type=int, default=None)
     p.add_argument("--num_views", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -368,8 +371,14 @@ def main(argv=None):
         else saved_ds.get("num_views", 16)
     )
     seed = args.seed if args.seed is not None else saved.get("seed", 0)
+    image_size = (
+        args.image_size if args.image_size is not None
+        else saved_ds.get("image_size")
+    )
 
-    ds = build_dataset_from_flag(data, num_objects, num_views, seed)
+    ds = build_dataset_from_flag(
+        data, num_objects, num_views, seed, image_size=image_size
+    )
     state = load_pytree(args.state)
     outdir = args.outdir or os.path.dirname(os.path.abspath(args.state))
 

@@ -248,11 +248,14 @@ def main(argv=None):
                    help="comma-separated encoder conv channels")
     p.add_argument("--dec_features", default="128,64,32",
                    help="comma-separated decoder conv channels")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="spatial size for built datasets (default: builder's own)")
     args = p.parse_args(argv)
 
     from gppvae_tpu.config.datasets import build_dataset_from_flag
 
-    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views,
+                                 args.seed, image_size=args.image_size)
     config = CVAETrainConfig(
         zdim=args.zdim, epochs=args.epochs, batch_size=args.bs, lr=args.lr,
         seed=args.seed, sigma_y=args.sigma_y, beta_kl=args.beta_kl,

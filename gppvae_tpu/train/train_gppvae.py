@@ -748,6 +748,10 @@ def _train_gppvae_impl(dataset, config, *, vae_params, mesh, log):
                         "name": dataset.name,
                         "num_objects": dataset.num_objects,
                         "num_views": dataset.num_views,
+                        # spatial size so generate/serve rebuild the SAME
+                        # grid shape (a 128² face run must not be re-eval'd
+                        # on the 64² default)
+                        "image_size": int(dataset.image_shape[0]),
                     },
                 },
                 f, indent=1, default=list,
@@ -1143,11 +1147,16 @@ def main(argv=None):
                    help="comma-separated encoder conv channels")
     p.add_argument("--dec_features", default="128,64,32",
                    help="comma-separated decoder conv channels")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="spatial size for built datasets (default: builder's"
+                        " own — 32 digits / 64 faces); e.g. 128 reaches the"
+                        " benched face-view shape")
     args = p.parse_args(argv)
 
     from gppvae_tpu.config.datasets import build_dataset_from_flag
 
-    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views, args.seed)
+    ds = build_dataset_from_flag(args.data, args.num_objects, args.num_views,
+                                 args.seed, image_size=args.image_size)
     config = GPPVAETrainConfig(
         mode=args.mode, zdim=args.zdim, epochs=args.epochs, batch_size=args.bs,
         lr_vae=args.lr, lr_gp=args.gp_lr, seed=args.seed, sigma_y=args.sigma_y,
