@@ -11,7 +11,10 @@
 # Usage: bash tools/run_tpu_queue.sh [OUTDIR]    (default /tmp/tpu_queue_out)
 # Progress: tail -f $OUTDIR/summary.jsonl  (one line per finished step)
 set -u
-cd "$(dirname "$0")/.."
+# repo root (works when run from a copy outside the repo too — the driver
+# pattern: copy to /tmp so later repo edits can't corrupt the running bash)
+cd "$(dirname "$0")/.." 2>/dev/null || true
+[ -f bench.py ] || cd /root/repo
 OUT="${1:-/tmp/tpu_queue_out}"
 mkdir -p "$OUT"
 SUMMARY="$OUT/summary.jsonl"
@@ -76,6 +79,10 @@ step face_serve 1200 python -m gppvae_tpu serve \
 
 # 7. shape exploration (VERDICT #8's sanctioned perf lever)
 step shape_explore 5400 python tools/shape_explore.py --out "$OUT/shapes.json"
+
+# 8. ROADMAP #4: 1000-epoch face soak proving the saturation barrier stays
+#    inert on real-valued data (two arms, bit-identical expected)
+step face_soak 3600 python tools/face_soak.py
 
 echo "queue complete:"
 cat "$SUMMARY"
