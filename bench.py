@@ -56,7 +56,14 @@ def _await_backend(max_wait_s=600):
                 capture_output=True, timeout=120, text=True,
             )
             if r.returncode == 0:
-                return True, r.stdout.strip().splitlines()[-1]
+                backend = r.stdout.strip().splitlines()[-1]
+                if backend == "cpu":
+                    # jax silently fell back to CPU (e.g. the axon plugin
+                    # isn't registered in this interpreter) — a CPU-timed
+                    # headline is exactly the misleading artifact this
+                    # probe exists to prevent; don't retry, it won't change
+                    return False, "cpu fallback (no device plugin)"
+                return True, backend
             status = "dead (backend init error)"
         except subprocess.TimeoutExpired:
             status = "wedged (probe hung)"
@@ -298,20 +305,30 @@ def main():
     from gppvae_tpu.eval.oos import predict_heldout
     from gppvae_tpu.models import encode_all
 
-    a = {
-        "images_tr": jnp.asarray(ds.images[ds.train_idx]),
-        "d_tr": jnp.asarray(ds.object_ids[ds.train_idx]),
-        "q_tr": jnp.asarray(ds.view_ids[ds.train_idx]),
-        "y_ho": jnp.asarray(ds.images[ds.heldout_idx]),
-        "d_ho": jnp.asarray(ds.object_ids[ds.heldout_idx]),
-        "q_ho": jnp.asarray(ds.view_ids[ds.heldout_idx]),
-    }
+    # device uploads built LAZILY inside the _safe-wrapped configs that use
+    # them — a relay failure here must degrade those entries, not erase the
+    # whole artifact (round-4 review: these sat outside every _safe wrapper)
+    _a_cache = {}
+
+    def _arrays():
+        if not _a_cache:
+            _a_cache.update(
+                images_tr=jnp.asarray(ds.images[ds.train_idx]),
+                d_tr=jnp.asarray(ds.object_ids[ds.train_idx]),
+                q_tr=jnp.asarray(ds.view_ids[ds.train_idx]),
+                y_ho=jnp.asarray(ds.images[ds.heldout_idx]),
+                d_ho=jnp.asarray(ds.object_ids[ds.heldout_idx]),
+                q_ho=jnp.asarray(ds.view_ids[ds.heldout_idx]),
+            )
+        return _a_cache
+
     n_ho = len(ds.heldout_idx)
 
     def _oos_generation():
         if jres is None:
             raise RuntimeError("upstream gppvae_joint_f32 failed")
         model = jres.model
+        a = _arrays()
 
         @jax.jit
         def oos_run(params, fixed_W):
@@ -355,6 +372,7 @@ def main():
 
     def _serving():
         smodel = fres_.model
+        a = _arrays()
         state = build_server_state(
             smodel, fres_.params, fres_.fixed_W, a["images_tr"], a["d_tr"],
             a["q_tr"],

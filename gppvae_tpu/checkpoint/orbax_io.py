@@ -72,8 +72,19 @@ def load_train_state(path: str, abstract_tree):
     sidecar = _abs(path) + ".format.json"
     version = FORMAT_VERSION
     if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            version = json.load(f).get("format_version")
+        try:
+            with open(sidecar) as f:
+                version = json.load(f).get("format_version")
+        except (OSError, json.JSONDecodeError) as e:
+            # a truncated sidecar (partial write during a crash) must get
+            # the same named-error treatment as a version mismatch, not a
+            # raw JSONDecodeError
+            raise CheckpointFormatError(
+                f"checkpoint {path!r} has an unreadable format sidecar "
+                f"{sidecar!r} ({e}); it may be a partial write — delete the "
+                "sidecar to attempt a plain restore at the current format "
+                f"v{FORMAT_VERSION}."
+            ) from e
     if version != FORMAT_VERSION:
         raise CheckpointFormatError(
             f"checkpoint {path!r} records format_version={version}, but this "
@@ -89,8 +100,8 @@ def load_train_state(path: str, abstract_tree):
             f"failed to restore train state {path!r}: its pytree does not "
             f"match the current format v{FORMAT_VERSION}. If it predates "
             "round 3 it carries pre-spike_guard optimizer states (or a "
-            "round-1 scalar log_vs) — interim formats that were never "
-            "released and are not loadable. Underlying error: {}".format(e)
+            f"round-1 scalar log_vs) — interim formats that were never "
+            f"released and are not loadable. Underlying error: {e}"
         ) from e
 
 

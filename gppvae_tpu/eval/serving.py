@@ -394,6 +394,18 @@ def main(argv=None):
 
     if args.stdin == (args.requests is not None):
         raise SystemExit("serve: pass exactly one of --requests or --stdin")
+    # unsupported combinations are errors, not silent drops (round-4
+    # review: --stdin answered with posterior MEANS while --sample asked
+    # for draws, and --repeat was a silent no-op under --sample)
+    if args.stdin and (args.sample or args.repeat):
+        raise SystemExit(
+            "serve: --sample/--repeat are not supported with --stdin"
+        )
+    if args.repeat and args.sample:
+        raise SystemExit(
+            "serve: --repeat (throughput mode) measures the posterior-mean"
+            " path; drop --sample or --repeat"
+        )
     if args.stdin:
         _serve_stdin_loop(model, state, x_map, extra, args)
         return
@@ -422,7 +434,7 @@ def main(argv=None):
             out["posterior_var"] = [round(float(v), 6) for v in var]
     out["latency_s"] = round(time.perf_counter() - t0, 4)
 
-    if args.repeat > 0 and not args.sample:
+    if args.repeat > 0:
         # throughput mode (VERDICT round-3 #3 done-criterion): the serve
         # CLI's own sustained rate on the SAME jitted program the answer
         # used, comparable to bench.py's oos_serving number. Indices are
@@ -433,7 +445,16 @@ def main(argv=None):
                                              extra_effects=extra)
         )
         _ = jax.device_get(served(state, d, q))  # compile outside the timing
-        reqs = [((d + i + 1) % P, (q + i + 1) % Q) for i in range(args.repeat)]
+        # rotated index vectors are built in NUMPY and device_put — baking
+        # the changing python int i into an eager jnp op would dispatch a
+        # fresh constant-folded program per rep through the relay
+        # (~0.4 s each; CLAUDE.md relay lesson)
+        d_np, q_np = np.asarray(d), np.asarray(q)
+        reqs = [
+            (jax.device_put((d_np + i + 1) % P),
+             jax.device_put((q_np + i + 1) % Q))
+            for i in range(args.repeat)
+        ]
         jax.block_until_ready(reqs)
         reps = []
         for dd, qq in reqs:

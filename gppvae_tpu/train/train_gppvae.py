@@ -1027,18 +1027,45 @@ def _lower_fused(dataset, config: GPPVAETrainConfig, mesh=None,
                  n_epochs: int | None = None):
     """Trace + lower (NOT compile) the fused multi-epoch program at this
     config's true shapes; shared by fused_epoch_cost and
-    fused_epoch_program_hash."""
+    fused_epoch_program_hash.
+
+    For non-nystrom configs the argument pytree is built ABSTRACTLY — one
+    `jax.eval_shape` over the real `_setup` — so NO device op runs: bench
+    can hash the program even when the relay is wedged (it calls this at
+    the very END of a heavy run, exactly when CLAUDE.md documents the
+    backend wedging; a concrete `_setup` there uploads the train images and
+    runs `model.init` through the relay and hangs). rbf-nystrom needs the
+    concrete X values for landmark selection, so it keeps the device path.
+    """
     backend = config.ops_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n = n_epochs or config.epochs_per_dispatch
     with ops.use_backend(backend), ops.use_mesh(mesh):
-        model, params, fixed_W, arrays, rng, num_train = _setup(
-            dataset, config, None, mesh
-        )
         nystrom_idx = None
-        if config.object_kernel == "rbf-nystrom":
-            nystrom_idx = _select_nystrom_landmarks(params["gp"]["X"], config)
+        if config.object_kernel == "rbf-nystrom" or mesh is not None:
+            # concrete path: landmark selection needs real X values, and
+            # shard_rows does real device_puts onto the mesh
+            model, params, fixed_W, arrays, rng, num_train = _setup(
+                dataset, config, None, mesh
+            )
+            if config.object_kernel == "rbf-nystrom":
+                nystrom_idx = _select_nystrom_landmarks(
+                    params["gp"]["X"], config
+                )
+            keys = epoch_keys(rng, 0, n)
+        else:
+            aux = {}
+
+            def build():
+                model, params, fixed_W, arrays, rng, num_train = _setup(
+                    dataset, config, None, mesh
+                )
+                aux["model"], aux["num_train"] = model, num_train
+                return params, fixed_W, arrays, epoch_keys(rng, 0, n)
+
+            params, fixed_W, arrays, keys = jax.eval_shape(build)
+            model, num_train = aux["model"], aux["num_train"]
         accum = resolve_grad_accum(config.grad_accum_steps, num_train,
                                    config.batch_size)
         opt_vae = make_optimizer(config.lr_vae, config.clip_grad_norm, accum)
@@ -1047,9 +1074,10 @@ def _lower_fused(dataset, config: GPPVAETrainConfig, mesh=None,
                      nystrom_idx=nystrom_idx)
         a = arrays
         return loop.make_fused_fn(n).lower(
-            params, opt_vae.init(params["vae"]), opt_gp.init(params["gp"]),
+            params, jax.eval_shape(opt_vae.init, params["vae"]),
+            jax.eval_shape(opt_gp.init, params["gp"]),
             fixed_W, a["images_tr"], a["d_tr"], a["q_tr"],
-            a["y_ho"], a["d_ho"], a["q_ho"], epoch_keys(rng, 0, n),
+            a["y_ho"], a["d_ho"], a["q_ho"], keys,
             a["row_mask"],
         )
 

@@ -77,3 +77,46 @@ def test_bench_sec_stats_distribution():
     stats = bench._sec_stats(hist, skip=2)
     assert stats == {"sec_epoch": 0.02, "sec_epoch_min": 0.01,
                      "sec_epoch_spread": 0.02}
+
+
+def test_await_backend_rejects_cpu_fallback(monkeypatch):
+    """A silent jax fallback to CPU must read as NOT-ok (round-4 review):
+    a CPU-timed headline is exactly the misleading artifact the probe
+    exists to prevent — and it must fail FAST, not burn the retry window.
+    The probe subprocess is stubbed (the dev box's sitecustomize forces the
+    axon platform in every real interpreter, env vars notwithstanding)."""
+    import subprocess
+    import time
+
+    import bench
+
+    calls = []
+
+    def fake_run(*a, **kw):
+        calls.append(a)
+        return subprocess.CompletedProcess(a, 0, stdout="cpu\n", stderr="")
+
+    # bench imports subprocess lazily inside _await_backend, so patching
+    # the module-global function is enough
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    t0 = time.monotonic()
+    ok, note = bench._await_backend(max_wait_s=300)
+    assert not ok
+    assert "cpu" in note
+    assert len(calls) == 1 and time.monotonic() - t0 < 10, \
+        "cpu fallback should fail immediately, not retry"
+
+
+def test_await_backend_accepts_device_backend(monkeypatch):
+    """The probe returns ok + the backend name for a real device backend."""
+    import subprocess
+
+    import bench
+
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **kw: subprocess.CompletedProcess(a, 0, stdout="tpu\n",
+                                                     stderr=""),
+    )
+    ok, note = bench._await_backend(max_wait_s=10)
+    assert ok and note == "tpu"

@@ -142,3 +142,52 @@ def test_fwd_bwd_is_about_3x_fwd(model_and_params):
     fwdbwd = _xla_flops(fwdbwd_fn, params, y, key)
     ratio = fwdbwd / fwd
     assert 2.0 < ratio < 4.5, ratio
+
+
+def test_fused_epoch_program_hash_is_device_free_and_matches_concrete():
+    """round-4 review: bench hashes the program at the END of a heavy run,
+    exactly when the relay wedges — the lowering must therefore run with
+    ZERO device ops (abstract eval_shape path) AND produce the same sha as
+    a concrete-argument lowering (the pre-change path), so recorded
+    program_sha1 values stay comparable."""
+    import hashlib
+
+    from gppvae_tpu import ops
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.train import GPPVAETrainConfig
+    from gppvae_tpu.train.train_gppvae import (
+        _Loop,
+        _setup,
+        epoch_keys,
+        fused_epoch_program_hash,
+        make_optimizer,
+        resolve_grad_accum,
+    )
+
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8, seed=0)
+    config = GPPVAETrainConfig(
+        mode="joint", zdim=8, epochs=1, batch_size=16,
+        obj_feature_dim=4, view_num_freqs=1,
+        enc_features=(8, 16), dec_features=(16, 8),
+    )
+
+    with ops.use_backend("xla"), ops.use_mesh(None):
+        model, params, fixed_W, a, rng, num_train = _setup(
+            ds, config, None, None
+        )
+        accum = resolve_grad_accum(
+            config.grad_accum_steps, num_train, config.batch_size
+        )
+        ov = make_optimizer(config.lr_vae, config.clip_grad_norm, accum)
+        og = make_optimizer(config.lr_gp, config.clip_grad_norm, accum)
+        loop = _Loop(model, ov, og, config, num_train, None, nystrom_idx=None)
+        n = config.epochs_per_dispatch
+        text = loop.make_fused_fn(n).lower(
+            params, ov.init(params["vae"]), og.init(params["gp"]),
+            fixed_W, a["images_tr"], a["d_tr"], a["q_tr"],
+            a["y_ho"], a["d_ho"], a["q_ho"], epoch_keys(rng, 0, n),
+            a["row_mask"],
+        ).as_text()
+    concrete = hashlib.sha1(text.encode()).hexdigest()[:16]
+
+    assert fused_epoch_program_hash(ds, config) == concrete

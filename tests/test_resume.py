@@ -103,6 +103,13 @@ def test_checkpoint_format_version_sidecar(tmp_path):
     with _pytest.raises(CheckpointFormatError, match="format_version=1"):
         train_gppvae(ds, _cfg(epochs=3, resume=out + "/final_state"))
 
+    # a truncated sidecar (partial write during a crash) gets the same
+    # named error, not a raw JSONDecodeError (round-4 review)
+    with open(sidecar, "w") as f:
+        f.write('{"format_ver')
+    with _pytest.raises(CheckpointFormatError, match="unreadable"):
+        train_gppvae(ds, _cfg(epochs=3, resume=out + "/final_state"))
+
 
 def test_old_format_checkpoint_raises_named_error(tmp_path):
     """A pre-round-3 state tree (plain optax.adam optimizer states, no

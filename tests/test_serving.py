@@ -443,3 +443,14 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     with pytest.raises(ValueError, match="outside"):
         serve_main(["--state", srv, "--requests", "99:0",
                     "--outdir", str(tmp_path / "servedX")])
+
+    # unsupported flag combinations are rejected, never silently dropped
+    # (round-4 review: --stdin answered means when --sample asked for
+    # draws; --repeat was a no-op under --sample)
+    with pytest.raises(SystemExit, match="sample"):
+        serve_main(["--state", srv, "--stdin", "--sample", "4"])
+    with pytest.raises(SystemExit, match="repeat"):
+        serve_main(["--state", srv, "--stdin", "--repeat", "2"])
+    with pytest.raises(SystemExit, match="sample"):
+        serve_main(["--state", srv, "--requests", "3:2", "--sample", "4",
+                    "--repeat", "2", "--outdir", str(tmp_path / "servedY")])

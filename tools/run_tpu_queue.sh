@@ -65,10 +65,12 @@ step cli_train 1800 python -m gppvae_tpu train-gppvae --data synthetic \
 
 # 6. serve done-criterion (VERDICT #3): face-view bf16+subpixel model at the
 #    benched 128² shape -> export -> serve --repeat throughput
+#    model config matches bench.py's face_view_128 contract config
+#    (zdim=32, xdim=8, view_freqs=3) so the serve number is comparable
 step face_train 3000 python -m gppvae_tpu train-gppvae --data faces \
   --image_size 128 --num_objects 50 --num_views 8 --epochs 12 --bs 64 \
-  --epochs_per_dispatch 6 --dtype bfloat16 --dec_upsample subpixel \
-  --outdir "$OUT/face_model"
+  --zdim 32 --xdim 8 --view_freqs 3 --epochs_per_dispatch 6 \
+  --dtype bfloat16 --dec_upsample subpixel --outdir "$OUT/face_model"
 step face_export 1200 python -m gppvae_tpu generate \
   --state "$OUT/face_model/final_state" \
   --export_server "$OUT/face_model/model.srv" --outdir "$OUT/face_model"
