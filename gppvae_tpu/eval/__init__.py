@@ -9,6 +9,8 @@ from gppvae_tpu.eval.oos import oos_predict_images, predict_heldout
 from gppvae_tpu.eval.serving import (
     ServerState,
     build_server_state,
+    export_compiled_program,
+    load_compiled_program,
     load_server_state,
     predict_images,
     sample_images,
@@ -22,6 +24,8 @@ __all__ = [
     "predict_heldout",
     "ServerState",
     "build_server_state",
+    "export_compiled_program",
+    "load_compiled_program",
     "load_server_state",
     "predict_images",
     "sample_images",

@@ -229,6 +229,82 @@ def load_server_state(
     return ServerState(core=core, **d), meta
 
 
+def export_compiled_program(
+    model, state: ServerState, path: str, *, x_map=None, extra_effects=(),
+    platforms: tuple = ("tpu", "cpu"),
+) -> dict:
+    """Serialize the whole serving program with `jax.export`: server state
+    (posterior core + decoder weights) BAKED IN as constants, the batch
+    dimension symbolic, lowered for every requested platform up front.
+
+    This is the step beyond the `.srv` artifact: `.srv` + meta needs this
+    package at serve time to rebuild the decoder; the exported program is
+    a self-contained StableHLO blob a deployment can run with
+    `jax.export.deserialize(blob).call(d, q)` — no model code, no feature
+    maps, no version skew (jax.export's calling convention is versioned).
+    The reference's closest artifact is a torch.save of weights alone
+    (SURVEY.md §5 checkpoint row), which always needs the source tree.
+
+    Writes `<path>` (serialized bytes) and `<path>.meta.json` (grid bounds
+    for request validation + provenance). Returns the meta dict.
+    """
+    import json
+    import os
+
+    from jax import export as jexport
+
+    fn = jax.jit(
+        lambda d, q: predict_images(model, state, d, q, x_map=x_map,
+                                    extra_effects=extra_effects)
+    )
+    b = jexport.symbolic_shape("b")[0]
+    exp = jexport.export(fn, platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    blob = exp.serialize()
+    apath = os.path.abspath(os.path.expanduser(path))
+    with open(apath, "wb") as f:
+        f.write(blob)
+    meta = {
+        "format": "jax.export.v1",
+        "grid": [int(state.X.shape[0]), int(state.W.shape[0])],
+        "image_shape": [int(s) for s in model.image_shape],
+        "platforms": list(platforms),
+        "bytes": len(blob),
+    }
+    with open(apath + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def load_compiled_program(path: str):
+    """Returns (exported, meta) for an `export_compiled_program` artifact;
+    `exported.call(d, q)` answers requests directly."""
+    import json
+    import os
+
+    from jax import export as jexport
+
+    apath = os.path.abspath(os.path.expanduser(path))
+    with open(apath, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    meta_path = apath + ".meta.json"
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"compiled-program sidecar {meta_path} not found: it records "
+            "the grid bounds used to validate requests."
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format") != "jax.export.v1":
+        raise ValueError(
+            f"{path!r} records format {meta.get('format')!r}; this build "
+            "reads jax.export.v1"
+        )
+    return exp, meta
+
+
 def x_map_from_meta(meta: dict, in_dim: int):
     """Rebuild the object-kernel feature map an artifact was exported with
     (gp.make_x_map over the recorded meta; None for the linear kernel)."""
@@ -314,6 +390,76 @@ def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
         }), flush=True)
 
 
+def _repeat_throughput(call, d, q, P: int, Q: int, repeat: int) -> dict:
+    """Sustained-rate measurement shared by the --state and --exe serve
+    paths: request indices rotated per rep (different grid cells) and the
+    full image batch read back, so a memoizing relay must do real decode
+    work. Rotated index vectors are built in NUMPY and device_put — baking
+    the changing python int i into an eager jnp op would dispatch a fresh
+    constant-folded program per rep through the relay (~0.4 s each;
+    CLAUDE.md relay lesson)."""
+    import time
+
+    import numpy as np
+
+    _ = jax.device_get(call(d, q))  # compile/warm outside the timing
+    d_np, q_np = np.asarray(d), np.asarray(q)
+    reqs = [
+        (jax.device_put((d_np + i + 1) % P),
+         jax.device_put((q_np + i + 1) % Q))
+        for i in range(repeat)
+    ]
+    jax.block_until_ready(reqs)
+    reps = []
+    for dd, qq in reqs:
+        t0 = time.perf_counter()
+        _ = jax.device_get(call(dd, qq))
+        reps.append(time.perf_counter() - t0)
+    return {
+        "repeat": repeat,
+        "repeat_latency_s_min": round(min(reps), 5),
+        "repeat_latency_s_median": round(sorted(reps)[len(reps) // 2], 5),
+        "images_per_sec": round(len(d_np) / min(reps)),
+    }
+
+
+def _serve_exe(args) -> None:
+    """Answer --requests straight from a compiled-program artifact
+    (`--export_exe` output): deserialize, validate against the recorded
+    grid, call — no model rebuild, no feature maps, no package code in the
+    serving path."""
+    import json
+    import os
+    import time
+
+    import numpy as np
+
+    from gppvae_tpu.eval.panels import save_panel
+
+    exp, meta = load_compiled_program(args.exe)
+    P, Q = meta["grid"]
+    pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]
+    for d0, q0 in pairs:
+        if not (0 <= d0 < P and 0 <= q0 < Q):
+            raise ValueError(f"request {d0}:{q0} outside the {P}×{Q} grid")
+    d = jnp.asarray([r[0] for r in pairs], jnp.int32)
+    q = jnp.asarray([r[1] for r in pairs], jnp.int32)
+    t0 = time.perf_counter()
+    y = np.asarray(exp.call(d, q))
+    out = {"n_requests": len(pairs), "exe": args.exe,
+           "latency_s": round(time.perf_counter() - t0, 4)}
+    if args.repeat > 0:
+        out.update(_repeat_throughput(exp.call, d, q, P, Q, args.repeat))
+    os.makedirs(args.outdir, exist_ok=True)
+    panel = os.path.join(args.outdir, "served.png")
+    save_panel(panel, [y])
+    npz = os.path.join(args.outdir, "served.npz")
+    np.savez_compressed(npz, images=y, objects=np.asarray(d),
+                        views=np.asarray(q))
+    out["panel"], out["npz"] = panel, npz
+    print(json.dumps(out))
+
+
 def main(argv=None):
     """Serve conditional generations from an exported artifact:
 
@@ -336,8 +482,19 @@ def main(argv=None):
     from gppvae_tpu.models import VAE
 
     p = argparse.ArgumentParser(description="GPPVAE serving CLI")
-    p.add_argument("--state", required=True,
+    p.add_argument("--state", default=None,
                    help="server-state artifact from generate --export_server")
+    p.add_argument("--exe", default=None,
+                   help="compiled-program artifact from --export_exe: a "
+                        "self-contained jax.export blob (weights baked in, "
+                        "symbolic batch) answered without rebuilding any "
+                        "model — posterior means only")
+    p.add_argument("--export_exe", default=None, metavar="PATH",
+                   help="with --state: serialize the whole serving program "
+                        "(jax.export, state baked in, batch dim symbolic) "
+                        "to PATH + PATH.meta.json and exit")
+    p.add_argument("--exe_platforms", default="tpu,cpu",
+                   help="--export_exe: comma-separated lowering platforms")
     p.add_argument("--requests", default=None,
                    help="comma-separated object:view pairs, e.g. 3:2,5:0")
     p.add_argument("--stdin", action="store_true",
@@ -369,6 +526,20 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if (args.state is None) == (args.exe is None):
+        raise SystemExit("serve: pass exactly one of --state or --exe")
+    if args.exe:
+        if args.sample or args.var or args.stdin or args.export_exe:
+            raise SystemExit(
+                "serve: --exe answers posterior means for --requests "
+                "(optionally --repeat); --sample/--var/--stdin/--export_exe "
+                "need --state"
+            )
+        if args.requests is None:
+            raise SystemExit("serve: --exe needs --requests")
+        _serve_exe(args)
+        return
+
     state, meta = load_server_state(args.state)
     if "image_shape" not in meta:
         raise ValueError(
@@ -391,6 +562,17 @@ def main(argv=None):
     )
     x_map = x_map_from_meta(meta, state.X.shape[1])
     extra = tuple(meta.get("extra_effects", ()))
+
+    if args.export_exe:
+        if args.stdin or args.sample or args.repeat or args.var:
+            raise SystemExit("serve: --export_exe only serializes; answer "
+                             "requests from the artifact via --exe")
+        emeta = export_compiled_program(
+            model, state, args.export_exe, x_map=x_map, extra_effects=extra,
+            platforms=tuple(p0 for p0 in args.exe_platforms.split(",") if p0),
+        )
+        print(json.dumps({"export_exe": args.export_exe, **emeta}))
+        return
 
     if args.stdin == (args.requests is not None):
         raise SystemExit("serve: pass exactly one of --requests or --stdin")
@@ -437,34 +619,14 @@ def main(argv=None):
     if args.repeat > 0:
         # throughput mode (VERDICT round-3 #3 done-criterion): the serve
         # CLI's own sustained rate on the SAME jitted program the answer
-        # used, comparable to bench.py's oos_serving number. Indices are
-        # rotated per rep (different grid cells) and the full image batch
-        # is read back, so a memoizing relay must do real decode work.
+        # used, comparable to bench.py's oos_serving number.
         served = jax.jit(
             lambda s, dd, qq: predict_images(model, s, dd, qq, x_map=x_map,
                                              extra_effects=extra)
         )
-        _ = jax.device_get(served(state, d, q))  # compile outside the timing
-        # rotated index vectors are built in NUMPY and device_put — baking
-        # the changing python int i into an eager jnp op would dispatch a
-        # fresh constant-folded program per rep through the relay
-        # (~0.4 s each; CLAUDE.md relay lesson)
-        d_np, q_np = np.asarray(d), np.asarray(q)
-        reqs = [
-            (jax.device_put((d_np + i + 1) % P),
-             jax.device_put((q_np + i + 1) % Q))
-            for i in range(args.repeat)
-        ]
-        jax.block_until_ready(reqs)
-        reps = []
-        for dd, qq in reqs:
-            t0 = time.perf_counter()
-            _ = jax.device_get(served(state, dd, qq))
-            reps.append(time.perf_counter() - t0)
-        out["repeat"] = args.repeat
-        out["repeat_latency_s_min"] = round(min(reps), 5)
-        out["repeat_latency_s_median"] = round(sorted(reps)[len(reps) // 2], 5)
-        out["images_per_sec"] = round(len(pairs) / min(reps))
+        out.update(_repeat_throughput(
+            lambda dd, qq: served(state, dd, qq), d, q, P, Q, args.repeat
+        ))
 
     import os
 

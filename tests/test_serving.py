@@ -454,3 +454,64 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     with pytest.raises(SystemExit, match="sample"):
         serve_main(["--state", srv, "--requests", "3:2", "--sample", "4",
                     "--repeat", "2", "--outdir", str(tmp_path / "servedY")])
+
+
+def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
+    """`serve --export_exe` serializes the WHOLE serving program
+    (jax.export: weights baked in, batch dim symbolic, lowered for tpu+cpu
+    up front); `serve --exe` answers requests from the blob alone — no
+    model rebuild, no feature maps. Answers match the --state path (to one
+    executable-level ulp) at more than one batch size."""
+    import json
+
+    import jax.numpy as jnp
+
+    from gppvae_tpu.eval.serving import (
+        export_compiled_program,
+        load_compiled_program,
+        main as serve_main,
+        predict_images,
+        save_server_state,
+    )
+
+    ds, res = trained
+    model = res.model
+    images_tr, d_tr, q_tr, *_ = _arrays(ds)
+    state = build_server_state(
+        model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    srv = str(tmp_path / "m.srv")
+    save_server_state(srv, state, meta={
+        "zdim": model.zdim, "image_shape": list(model.image_shape),
+        "enc_features": list(model.enc_features),
+        "dec_features": list(model.dec_features),
+    })
+    exe = str(tmp_path / "m.exe")
+    meta = export_compiled_program(model, state, exe)
+    assert meta["grid"] == [int(state.X.shape[0]), int(state.W.shape[0])]
+    assert set(meta["platforms"]) == {"tpu", "cpu"}
+
+    exp, meta2 = load_compiled_program(exe)
+    assert meta2 == meta
+    for d, q in (([1, 3, 5], [0, 2, 1]), ([2], [3])):  # symbolic batch dim
+        dd = jnp.asarray(d, jnp.int32)
+        qq = jnp.asarray(q, jnp.int32)
+        y_exe = np.asarray(exp.call(dd, qq))
+        y_ref = np.asarray(predict_images(model, state, dd, qq))
+        np.testing.assert_allclose(y_exe, y_ref, atol=1e-6)
+
+    # CLI: answer + throughput from the blob alone
+    serve_main(["--exe", exe, "--requests", "1:0,3:2", "--repeat", "2",
+                "--outdir", str(tmp_path / "served_exe")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_requests"] == 2 and rec["images_per_sec"] > 0
+    assert (tmp_path / "served_exe" / "served.npz").exists()
+
+    # out-of-grid + unsupported combos fail loudly
+    with pytest.raises(ValueError, match="outside"):
+        serve_main(["--exe", exe, "--requests", "999:0",
+                    "--outdir", str(tmp_path / "x")])
+    with pytest.raises(SystemExit, match="sample"):
+        serve_main(["--exe", exe, "--requests", "1:0", "--sample", "2"])
+    with pytest.raises(SystemExit, match="exactly one"):
+        serve_main(["--exe", exe, "--state", srv, "--requests", "1:0"])
