@@ -423,6 +423,46 @@ def _repeat_throughput(call, d, q, P: int, Q: int, repeat: int) -> dict:
     }
 
 
+def _sustained_throughput(call, d, q, P: int, Q: int, k: int) -> dict:
+    """bench.py's oos_serving protocol for the serve CLI: k rotated request
+    batches answered inside ONE jit dispatch (lax.scan), per-image checksum
+    readback only — measures decode CAPACITY. `--repeat` (full image
+    readback per batch) measures the end-to-end wall path instead; through
+    the dev relay tunnel that path is readback-bandwidth-bound (~25–40 MB/s
+    measured at face 128² — 200×128²×3 f32 ≈ 39 MB/batch ≈ 1.4 s), so only
+    the sustained number is comparable to bench.py's. The checksum depends
+    on every decoded pixel, so a memoizing relay still does real work."""
+    import time
+
+    import numpy as np
+
+    @jax.jit
+    def burst(d0, q0):
+        def step(_, i):
+            y = call((d0 + i) % P, (q0 + i) % Q)
+            return None, jnp.sum(y, axis=tuple(range(1, y.ndim)))
+
+        _, sums = jax.lax.scan(step, None, jnp.arange(k, dtype=jnp.int32))
+        return sums
+
+    _ = jax.device_get(burst(d, q))  # compile/warm outside the timing
+    d_np = np.asarray(d)
+    # rotated request vectors materialized OUTSIDE the timed window (a
+    # changing Python int inside it would add eager relay dispatches)
+    reqs = [jax.device_put((d_np + 7 * i + 1) % P) for i in range(3)]
+    jax.block_until_ready(reqs)
+    reps = []
+    for dd in reqs:
+        t0 = time.perf_counter()
+        _ = jax.device_get(burst(dd, q))
+        reps.append(time.perf_counter() - t0)
+    return {
+        "sustained_chain": k,
+        "sustained_latency_s_min": round(min(reps), 5),
+        "sustained_images_per_sec": round(k * len(d_np) / min(reps)),
+    }
+
+
 def _serve_exe(args) -> None:
     """Answer --requests straight from a compiled-program artifact
     (`--export_exe` output): deserialize, validate against the recorded
@@ -450,6 +490,10 @@ def _serve_exe(args) -> None:
            "latency_s": round(time.perf_counter() - t0, 4)}
     if args.repeat > 0:
         out.update(_repeat_throughput(exp.call, d, q, P, Q, args.repeat))
+    if args.sustained > 0:
+        # exported programs are traceable from another JAX computation
+        # (jax.export), so the sustained scan wraps exp.call directly
+        out.update(_sustained_throughput(exp.call, d, q, P, Q, args.sustained))
     os.makedirs(args.outdir, exist_ok=True)
     panel = os.path.join(args.outdir, "served.png")
     save_panel(panel, [y])
@@ -516,9 +560,15 @@ def main(argv=None):
                    help="throughput mode: after answering, re-serve the "
                         "request batch K more times (indices rotated per rep "
                         "so a caching relay must do real work) and report "
-                        "images_per_sec over the best rep — the number to "
-                        "compare against bench.py's oos_serving sustained "
-                        "rate")
+                        "images_per_sec over the best rep — an END-TO-END "
+                        "wall number including full image readback (relay-"
+                        "bandwidth-bound on the dev tunnel)")
+    p.add_argument("--sustained", type=int, default=0, metavar="K",
+                   help="decode-capacity mode: answer K rotated request "
+                        "batches inside ONE dispatch (lax.scan, checksum "
+                        "readback only) and report sustained_images_per_sec "
+                        "— the number comparable to bench.py's oos_serving "
+                        "sustained rate")
     p.add_argument("--seed", type=int, default=0, help="--sample RNG seed")
     p.add_argument("--outdir", default=".")
     args = p.parse_args(argv)
@@ -532,8 +582,8 @@ def main(argv=None):
         if args.sample or args.var or args.stdin or args.export_exe:
             raise SystemExit(
                 "serve: --exe answers posterior means for --requests "
-                "(optionally --repeat); --sample/--var/--stdin/--export_exe "
-                "need --state"
+                "(optionally --repeat/--sustained); --sample/--var/--stdin/"
+                "--export_exe need --state"
             )
         if args.requests is None:
             raise SystemExit("serve: --exe needs --requests")
@@ -564,7 +614,7 @@ def main(argv=None):
     extra = tuple(meta.get("extra_effects", ()))
 
     if args.export_exe:
-        if args.stdin or args.sample or args.repeat or args.var:
+        if args.stdin or args.sample or args.repeat or args.var or args.sustained:
             raise SystemExit("serve: --export_exe only serializes; answer "
                              "requests from the artifact via --exe")
         emeta = export_compiled_program(
@@ -579,14 +629,15 @@ def main(argv=None):
     # unsupported combinations are errors, not silent drops (round-4
     # review: --stdin answered with posterior MEANS while --sample asked
     # for draws, and --repeat was a silent no-op under --sample)
-    if args.stdin and (args.sample or args.repeat):
+    if args.stdin and (args.sample or args.repeat or args.sustained):
         raise SystemExit(
-            "serve: --sample/--repeat are not supported with --stdin"
+            "serve: --sample/--repeat/--sustained are not supported with "
+            "--stdin"
         )
-    if args.repeat and args.sample:
+    if (args.repeat or args.sustained) and args.sample:
         raise SystemExit(
-            "serve: --repeat (throughput mode) measures the posterior-mean"
-            " path; drop --sample or --repeat"
+            "serve: --repeat/--sustained (throughput modes) measure the"
+            " posterior-mean path; drop --sample or the throughput flag"
         )
     if args.stdin:
         _serve_stdin_loop(model, state, x_map, extra, args)
@@ -626,6 +677,12 @@ def main(argv=None):
         )
         out.update(_repeat_throughput(
             lambda dd, qq: served(state, dd, qq), d, q, P, Q, args.repeat
+        ))
+    if args.sustained > 0:
+        out.update(_sustained_throughput(
+            lambda dd, qq: predict_images(model, state, dd, qq, x_map=x_map,
+                                          extra_effects=extra),
+            d, q, P, Q, args.sustained,
         ))
 
     import os

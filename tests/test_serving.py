@@ -439,6 +439,15 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     assert rec["repeat"] == 2 and rec["images_per_sec"] > 0
     assert rec["repeat_latency_s_min"] <= rec["repeat_latency_s_median"]
 
+    # decode-capacity mode: --sustained chains K rotated batches inside ONE
+    # dispatch with checksum-only readback (bench.py's oos_serving protocol
+    # — the number comparable to the bench's sustained rate)
+    serve_main(["--state", srv, "--requests", "3:2,5:0", "--sustained", "3",
+                "--outdir", str(tmp_path / "served3s")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["sustained_chain"] == 3
+    assert rec["sustained_images_per_sec"] > 0
+
     # out-of-grid requests fail loudly
     with pytest.raises(ValueError, match="outside"):
         serve_main(["--state", srv, "--requests", "99:0",
@@ -454,6 +463,11 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     with pytest.raises(SystemExit, match="sample"):
         serve_main(["--state", srv, "--requests", "3:2", "--sample", "4",
                     "--repeat", "2", "--outdir", str(tmp_path / "servedY")])
+    with pytest.raises(SystemExit, match="sustained"):
+        serve_main(["--state", srv, "--stdin", "--sustained", "2"])
+    with pytest.raises(SystemExit, match="sustained"):
+        serve_main(["--state", srv, "--requests", "3:2", "--sample", "4",
+                    "--sustained", "2", "--outdir", str(tmp_path / "servedZ")])
 
 
 def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
@@ -500,11 +514,14 @@ def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
         y_ref = np.asarray(predict_images(model, state, dd, qq))
         np.testing.assert_allclose(y_exe, y_ref, atol=1e-6)
 
-    # CLI: answer + throughput from the blob alone
+    # CLI: answer + throughput from the blob alone (--sustained exercises
+    # calling the deserialized exported program from inside a jitted scan)
     serve_main(["--exe", exe, "--requests", "1:0,3:2", "--repeat", "2",
-                "--outdir", str(tmp_path / "served_exe")])
+                "--sustained", "3", "--outdir", str(tmp_path / "served_exe")])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n_requests"] == 2 and rec["images_per_sec"] > 0
+    assert rec["sustained_chain"] == 3
+    assert rec["sustained_images_per_sec"] > 0
     assert (tmp_path / "served_exe" / "served.npz").exists()
 
     # out-of-grid + unsupported combos fail loudly

@@ -31,9 +31,16 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/shape_explore.py` without a pip install (the
+# other tools/ scripts carry the same bootstrap; its absence cost the
+# first on-chip drive of this tool an instant ModuleNotFoundError)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BF16_PEAK_FLOPS = 197e12
 
