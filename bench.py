@@ -288,10 +288,40 @@ def main():
                               epochs_per_dispatch=3, dec_upsample="subpixel"),
             log=NullLogger(),
         )
-        return {
+        out = {
             **_sec_stats(fres.history, 3),
             "oos_mse": round(fres.history[-1]["oos_mse"], 5),
         }
+        # face-shape sustained serving on the just-trained model — the
+        # round-3 VERDICT #3 done-criterion as a DRIVER-captured number
+        # every round (protocol shared with `serve --sustained`: K rotated
+        # request batches in ONE dispatch, checksum readback; the full-
+        # image-readback wall path is relay-bandwidth-bound, BASELINE.md
+        # round-4). bf16+subpixel serve on the real chip measured 55.5k
+        # img/s; this entry is the f32 face model the bench trains.
+        import jax
+        import jax.numpy as jnp
+
+        from gppvae_tpu.eval import build_server_state, predict_images
+        from gppvae_tpu.eval.serving import _sustained_throughput
+
+        fstate = build_server_state(
+            fres.model, fres.params, fres.fixed_W,
+            jnp.asarray(fds.images[fds.train_idx]),
+            jnp.asarray(fds.object_ids[fds.train_idx]),
+            jnp.asarray(fds.view_ids[fds.train_idx]),
+        )
+        jax.block_until_ready(fstate)
+        sus = _sustained_throughput(
+            lambda dd, qq: predict_images(fres.model, fstate, dd, qq),
+            jnp.asarray(fds.object_ids[fds.heldout_idx]),
+            jnp.asarray(fds.view_ids[fds.heldout_idx]),
+            fds.num_objects, fds.num_views, 20,
+        )
+        out["serving_sustained_images_per_sec"] = sus[
+            "sustained_images_per_sec"]
+        out["serving_batch"] = int(len(fds.heldout_idx))
+        return out
 
     _safe("face_view_128", _face_view)
 
