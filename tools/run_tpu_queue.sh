@@ -77,14 +77,14 @@ step face_export 1200 python -m gppvae_tpu generate \
 REQS=$(python -c "print(','.join(f'{d}:{q}' for d in range(0,50,2) for q in range(8)))")
 step face_serve 1200 python -m gppvae_tpu serve \
   --state "$OUT/face_model/model.srv" --requests "$REQS" --repeat 20 \
-  --outdir "$OUT/face_serve"
+  --sustained 20 --outdir "$OUT/face_serve"
 #    compiled-program artifact on the real chip: export (tpu+cpu lowering)
 #    and answer from the blob alone, throughput vs the --state path
 step face_export_exe 1200 python -m gppvae_tpu serve \
   --state "$OUT/face_model/model.srv" --export_exe "$OUT/face_model/model.exe"
 step face_serve_exe 1200 python -m gppvae_tpu serve \
   --exe "$OUT/face_model/model.exe" --requests "$REQS" --repeat 20 \
-  --outdir "$OUT/face_serve_exe"
+  --sustained 20 --outdir "$OUT/face_serve_exe"
 
 # 7. shape exploration (VERDICT #8's sanctioned perf lever)
 step shape_explore 5400 python tools/shape_explore.py --out "$OUT/shapes.json"
