@@ -162,6 +162,48 @@ def sample_images(
     return y.reshape(n, num_samples, *y.shape[1:])
 
 
+def observe(
+    model,
+    state: ServerState,
+    images: jax.Array,
+    d: jax.Array,
+    q: jax.Array,
+    *,
+    x_map=None,
+    extra_effects: tuple = (),
+    encode_chunk: int = 1024,
+) -> ServerState:
+    """Fold NEW observed images into the serving posterior — streaming
+    conditioning at the server, no training set and no training step.
+
+    Encodes the new images (the same amortized-inference encoder the fold
+    used), builds their (object, view) feature rows from the state's own
+    X/W, and extends the R-sized core (gp.extend_posterior_core) in
+    O(n·R² + R³): exactly the state build_server_state would have produced
+    had these rows been in the training set (tested), for the cost of one
+    n-row encode. Predictions for the observed cells sharpen immediately —
+    predictive variance is monotonically non-increasing in observations.
+    The reference's closest move is re-running the whole OOS pipeline over
+    the enlarged dataset (SURVEY.md §3.4 re-encodes all N per call).
+
+    The GP/VAE parameters are NOT updated — this is Bayesian conditioning,
+    not training; observations of objects/views outside the trained P×Q
+    grid need a training run (their X/W rows don't exist)."""
+    V_new = gp.build_effect_rows(state.X, state.W, d, q,
+                                 extra_effects=extra_effects, x_map=x_map)
+    if len(V_new) != state.v_sig.shape[0]:
+        raise ValueError(
+            f"extra_effects={extra_effects!r} builds {len(V_new)} effect(s) "
+            f"but the server state carries {state.v_sig.shape[0]} variance(s); "
+            "pass the extra_effects recorded in the artifact's meta"
+        )
+    Z_new = encode_all(model, state.vae_params, images,
+                       min(encode_chunk, images.shape[0]))
+    v_sigs = [state.v_sig[i] for i in range(len(V_new))]
+    core2 = gp.extend_posterior_core(state.core, V_new, v_sigs, Z_new)
+    return state._replace(core=core2)
+
+
 def save_server_state(
     path: str, state: ServerState, meta: dict | None = None,
     nystrom_idx=None,
@@ -570,6 +612,17 @@ def main(argv=None):
                         "— the number comparable to bench.py's oos_serving "
                         "sustained rate")
     p.add_argument("--seed", type=int, default=0, help="--sample RNG seed")
+    p.add_argument("--observe", default=None, metavar="NPZ",
+                   help="fold NEW observed images into the posterior before "
+                        "answering (streaming conditioning, O(n·R²) — no "
+                        "training set, no training step): an .npz with "
+                        "images (n,H,W,C in [0,1]), objects (n,) and views "
+                        "(n,) int arrays — the layout serve itself writes; "
+                        "GridDataset's object_ids/view_ids keys also work. "
+                        "Requires --save_state for the updated artifact")
+    p.add_argument("--save_state", default=None, metavar="PATH",
+                   help="--observe: write the updated server state (+ its "
+                        ".meta.json sidecar) here")
     p.add_argument("--outdir", default=".")
     args = p.parse_args(argv)
 
@@ -579,11 +632,12 @@ def main(argv=None):
     if (args.state is None) == (args.exe is None):
         raise SystemExit("serve: pass exactly one of --state or --exe")
     if args.exe:
-        if args.sample or args.var or args.stdin or args.export_exe:
+        if args.sample or args.var or args.stdin or args.export_exe \
+                or args.observe:
             raise SystemExit(
                 "serve: --exe answers posterior means for --requests "
                 "(optionally --repeat/--sustained); --sample/--var/--stdin/"
-                "--export_exe need --state"
+                "--export_exe/--observe need --state"
             )
         if args.requests is None:
             raise SystemExit("serve: --exe needs --requests")
@@ -614,9 +668,12 @@ def main(argv=None):
     extra = tuple(meta.get("extra_effects", ()))
 
     if args.export_exe:
-        if args.stdin or args.sample or args.repeat or args.var or args.sustained:
+        if args.stdin or args.sample or args.repeat or args.var \
+                or args.sustained or args.observe:
             raise SystemExit("serve: --export_exe only serializes; answer "
-                             "requests from the artifact via --exe")
+                             "requests from the artifact via --exe (fold new "
+                             "observations into the .srv state first with "
+                             "--observe, then re-export)")
         emeta = export_compiled_program(
             model, state, args.export_exe, x_map=x_map, extra_effects=extra,
             platforms=tuple(p0 for p0 in args.exe_platforms.split(",") if p0),
@@ -624,7 +681,59 @@ def main(argv=None):
         print(json.dumps({"export_exe": args.export_exe, **emeta}))
         return
 
-    if args.stdin == (args.requests is not None):
+    if args.observe:
+        if args.save_state is None:
+            raise SystemExit("serve: --observe needs --save_state for the "
+                             "updated artifact")
+        if args.stdin or args.sample:
+            raise SystemExit("serve: --observe folds then optionally answers "
+                             "--requests; --stdin/--sample are separate runs")
+        with np.load(args.observe, allow_pickle=False) as f:
+            keys = set(f.files)
+            try:
+                imgs = jnp.asarray(f["images"], jnp.float32)
+                d_new = jnp.asarray(
+                    f["objects" if "objects" in keys else "object_ids"],
+                    jnp.int32)
+                q_new = jnp.asarray(
+                    f["views" if "views" in keys else "view_ids"], jnp.int32)
+            except KeyError as e:
+                raise SystemExit(
+                    f"serve: --observe npz lacks {e}; want images + "
+                    "objects/views (or object_ids/view_ids)"
+                )
+        P, Q = int(state.X.shape[0]), int(state.W.shape[0])
+        if tuple(imgs.shape[1:]) != tuple(meta["image_shape"]):
+            raise SystemExit(
+                f"serve: observed images are {tuple(imgs.shape[1:])} but the "
+                f"model was trained on {tuple(meta['image_shape'])}"
+            )
+        if not (imgs.shape[0] == d_new.shape[0] == q_new.shape[0]):
+            raise SystemExit("serve: --observe arrays disagree on n")
+        if (np.asarray(d_new) < 0).any() or (np.asarray(d_new) >= P).any() \
+                or (np.asarray(q_new) < 0).any() \
+                or (np.asarray(q_new) >= Q).any():
+            raise SystemExit(
+                f"serve: observed cells outside the trained {P}×{Q} grid — "
+                "conditioning can only absorb observations of known "
+                "objects/views (new ones need a training run)"
+            )
+        t0 = time.perf_counter()
+        state = observe(model, state, imgs, d_new, q_new, x_map=x_map,
+                        extra_effects=extra)
+        jax.block_until_ready(state.core.M)
+        fold_s = round(time.perf_counter() - t0, 4)
+        save_meta = {k: v for k, v in meta.items() if k != "nystrom_idx"}
+        save_server_state(args.save_state, state, meta=save_meta,
+                          nystrom_idx=meta.get("nystrom_idx"))
+        print(json.dumps({
+            "observed": int(imgs.shape[0]), "fold_s": fold_s,
+            "save_state": args.save_state,
+        }), flush=True)
+        if args.requests is None:
+            return
+
+    if args.stdin == (args.requests is not None) and not args.observe:
         raise SystemExit("serve: pass exactly one of --requests or --stdin")
     # unsupported combinations are errors, not silent drops (round-4
     # review: --stdin answered with posterior MEANS while --sample asked

@@ -24,6 +24,7 @@ from gppvae_tpu.gp.woodbury import (
     gp_nll,
     gp_nll_from_features,
     kinv_z_core,
+    extend_posterior_core,
     posterior_core,
     PosteriorCore,
     predict_from_core,
@@ -62,6 +63,7 @@ __all__ = [
     "gp_nll",
     "gp_nll_from_features",
     "kinv_z_core",
+    "extend_posterior_core",
     "posterior_core",
     "PosteriorCore",
     "predict_from_core",

@@ -194,6 +194,52 @@ def posterior_core(factors: GPFactors, Z: jax.Array) -> PosteriorCore:
     )
 
 
+def extend_posterior_core(
+    core: PosteriorCore,
+    Vs_new: Sequence[jax.Array] | jax.Array,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+    Z_new: jax.Array,
+) -> PosteriorCore:
+    """Fold n NEW observed rows into an existing posterior core — streaming
+    conditioning in O(n·R² + R³), without the original training set.
+
+    The core is algebraically sufficient: M = B⁻¹UᵀZ/v_n ⇒ B·M = UᵀZ/v_n,
+    so with the new rows' scaled features U₊ (n, R) and latents Z₊ (n, L):
+
+        G'  = G + U₊ᵀU₊
+        B'  = I + G'/v_n
+        M'  = B'⁻¹ (B·M + U₊ᵀZ₊/v_n)   = B'⁻¹ [U;U₊]ᵀ[Z;Z₊] / v_n
+
+    — identical (up to fp reassociation) to refactorizing over the union
+    of all rows (tested exactly in f64). The reference has no analog: its
+    OOS path re-encodes and re-factorizes the whole dataset per evaluation
+    (SURVEY.md §3.4); here a deployed server can absorb fresh observations
+    of grid cells in an R-sized update and immediately serve the sharpened
+    posterior (predictive variance is monotonically non-increasing — also
+    tested). v_noise and the variance scales are model parameters and stay
+    fixed; this is a conditioning update, not a training step.
+    """
+    if isinstance(Vs_new, jax.Array) or not isinstance(Vs_new, (list, tuple)):
+        Vs_new = [Vs_new]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U_new = _scaled_features(Vs_new, [jnp.asarray(v) for v in v_sigs])
+    R = core.G.shape[0]
+    if U_new.shape[1] != R:
+        raise ValueError(
+            f"new rows build rank {U_new.shape[1]} features but the core "
+            f"is rank {R}; pass the feature config the core was built with"
+        )
+    G2 = core.G + ops.gram(U_new)
+    B2 = jnp.eye(R, dtype=G2.dtype) + G2 / core.v_noise
+    Lb2 = jax.lax.linalg.cholesky(B2)
+    # B·M recovers UᵀZ/v_n from the old core; add the new rows' projection
+    rhs = core.M + core.G @ core.M / core.v_noise \
+        + ops.matmul_tn(U_new, Z_new.astype(U_new.dtype)) / core.v_noise
+    M2 = jax.scipy.linalg.cho_solve((Lb2, True), rhs)
+    return PosteriorCore(M=M2, G=G2, Lb=Lb2, v_noise=core.v_noise)
+
+
 def predict_from_core(
     V_star: Sequence[jax.Array] | jax.Array,
     core: PosteriorCore,

@@ -183,6 +183,170 @@ def test_predict_images_rejects_effect_count_mismatch(trained):
                        extra_effects=("object",))
 
 
+def test_extend_posterior_core_exact_f64():
+    """Streaming conditioning is EXACT: folding rows in two steps
+    (posterior_core on the first block, extend_posterior_core with the
+    rest) equals one factorization over all rows — f64, tight tolerance.
+    The identity under test: B·M recovers UᵀZ/v_n from the core alone."""
+    rng = np.random.default_rng(7)
+    n1, n2, r, L = 40, 13, 6, 5
+    V = jnp.asarray(rng.normal(size=(n1 + n2, r)), jnp.float64)
+    Z = jnp.asarray(rng.normal(size=(n1 + n2, L)), jnp.float64)
+    v_sig = jnp.asarray(0.7, jnp.float64)
+    v_n = jnp.asarray(0.3, jnp.float64)
+
+    core1 = gp.posterior_core(gp.factorize(V[:n1], v_sig, v_n), Z[:n1])
+    core_inc = gp.extend_posterior_core(core1, V[n1:], v_sig, Z[n1:])
+    core_full = gp.posterior_core(gp.factorize(V, v_sig, v_n), Z)
+
+    for a, b, name in ((core_inc.M, core_full.M, "M"),
+                       (core_inc.G, core_full.G, "G"),
+                       (core_inc.Lb, core_full.Lb, "Lb")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12, err_msg=name)
+    # predictions (mean + variance) from the two cores are identical
+    V_star = jnp.asarray(rng.normal(size=(9, r)), jnp.float64)
+    m1, s1 = gp.predict_from_core(V_star, core_inc, v_sig, return_var=True)
+    m2, s2 = gp.predict_from_core(V_star, core_full, v_sig, return_var=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-10)
+
+    # a second extension keeps composing (3-way split == one shot)
+    corea = gp.posterior_core(gp.factorize(V[:20], v_sig, v_n), Z[:20])
+    coreb = gp.extend_posterior_core(corea, V[20:n1], v_sig, Z[20:n1])
+    corec = gp.extend_posterior_core(coreb, V[n1:], v_sig, Z[n1:])
+    np.testing.assert_allclose(np.asarray(corec.M), np.asarray(core_full.M),
+                               rtol=1e-10, atol=1e-12)
+
+    # rank mismatch fails loudly, never silently mispredicts
+    with pytest.raises(ValueError, match="rank"):
+        gp.extend_posterior_core(core1, V[n1:, : r - 1], v_sig, Z[n1:])
+
+
+def test_observe_matches_batch_build(trained):
+    """serving.observe == build_server_state over the enlarged set: folding
+    the heldout rows into a train-only state gives the same posterior the
+    batch fold over train+heldout produces (f32, fp-reassociation tol)."""
+    from gppvae_tpu.eval.serving import observe
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state_tr = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    state_inc = observe(res.model, state_tr, y_ho, d_ho, q_ho)
+    state_full = build_server_state(
+        res.model, res.params, res.fixed_W,
+        jnp.concatenate([images_tr, y_ho]),
+        jnp.concatenate([d_tr, d_ho]), jnp.concatenate([q_tr, q_ho]),
+    )
+    np.testing.assert_allclose(np.asarray(state_inc.core.G),
+                               np.asarray(state_full.core.G),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_inc.core.M),
+                               np.asarray(state_full.core.M),
+                               rtol=1e-4, atol=1e-5)
+    # and the served images agree
+    y_inc = predict_images(res.model, state_inc, d_tr[:8], q_tr[:8])
+    y_full = predict_images(res.model, state_full, d_tr[:8], q_tr[:8])
+    np.testing.assert_allclose(np.asarray(y_inc), np.asarray(y_full),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_observe_shrinks_variance(trained):
+    """Conditioning on new observations is information gain: the predictive
+    variance never increases anywhere on the grid, and strictly drops for
+    the observed cells."""
+    from gppvae_tpu.eval.serving import observe
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    _, var_before = predict_images(res.model, state, d_ho, q_ho,
+                                   return_var=True)
+    state2 = observe(res.model, state, y_ho, d_ho, q_ho)
+    _, var_after = predict_images(res.model, state2, d_ho, q_ho,
+                                  return_var=True)
+    vb, va = np.asarray(var_before), np.asarray(var_after)
+    assert (va <= vb + 1e-6).all()
+    assert (va < vb - 1e-6).any(), "observed cells should sharpen"
+    # effect-count mismatch fails loudly (same contract as predict_images)
+    with pytest.raises(ValueError, match="effect"):
+        observe(res.model, state, y_ho, d_ho, q_ho,
+                extra_effects=("object",))
+
+
+def test_serve_cli_observe(tmp_path, capsys, trained):
+    """serve --observe folds an .npz of new observations into the artifact
+    (streaming conditioning at the deployment surface): the updated .srv
+    answers with reduced posterior variance; guard rails fail loudly."""
+    import json
+
+    from gppvae_tpu.eval.serving import main as serve_main
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    from gppvae_tpu.eval import save_server_state
+
+    srv = str(tmp_path / "m.srv")
+    save_server_state(srv, state, meta={
+        "zdim": res.model.zdim, "image_shape": list(res.model.image_shape),
+        "enc_features": list(res.model.enc_features),
+        "dec_features": list(res.model.dec_features),
+    })
+    obs = str(tmp_path / "obs.npz")
+    np.savez_compressed(obs, images=np.asarray(y_ho),
+                        objects=np.asarray(d_ho), views=np.asarray(q_ho))
+    req = f"{int(d_ho[0])}:{int(q_ho[0])}"
+
+    serve_main(["--state", srv, "--requests", req, "--var",
+                "--outdir", str(tmp_path / "before")])
+    var0 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["posterior_var"][0]
+
+    srv2 = str(tmp_path / "m2.srv")
+    serve_main(["--state", srv, "--observe", obs, "--save_state", srv2,
+                "--outdir", str(tmp_path / "obs_out")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["observed"] == len(d_ho) and rec["save_state"] == srv2
+
+    serve_main(["--state", srv2, "--requests", req, "--var",
+                "--outdir", str(tmp_path / "after")])
+    var1 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["posterior_var"][0]
+    assert var1 < var0, "observing a cell must sharpen its prediction"
+
+    # fold + answer in one invocation (requests run against the UPDATED state)
+    srv3 = str(tmp_path / "m3.srv")
+    serve_main(["--state", srv, "--observe", obs, "--save_state", srv3,
+                "--requests", req, "--var",
+                "--outdir", str(tmp_path / "both")])
+    lines = [json.loads(l)
+             for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-2]["observed"] == len(d_ho)
+    assert abs(lines[-1]["posterior_var"][0] - var1) < 1e-6
+
+    # guard rails
+    with pytest.raises(SystemExit, match="save_state"):
+        serve_main(["--state", srv, "--observe", obs])
+    bad = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad, images=np.asarray(y_ho[:1]),
+                        objects=np.asarray([999]), views=np.asarray([0]))
+    with pytest.raises(SystemExit, match="grid"):
+        serve_main(["--state", srv, "--observe", bad, "--save_state",
+                    str(tmp_path / "x.srv")])
+    wrong = str(tmp_path / "wrong.npz")
+    np.savez_compressed(wrong, pictures=np.asarray(y_ho[:1]))
+    with pytest.raises(SystemExit, match="lacks"):
+        serve_main(["--state", srv, "--observe", wrong, "--save_state",
+                    str(tmp_path / "y.srv")])
+
+
 def test_export_server_cli(tmp_path):
     """generate --export_server folds a run's checkpoint into the serving
     artifact; the loaded state predicts the run's heldout cells."""
