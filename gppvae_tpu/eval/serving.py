@@ -172,6 +172,7 @@ def observe(
     x_map=None,
     extra_effects: tuple = (),
     encode_chunk: int = 1024,
+    row_mask: jax.Array | None = None,
 ) -> ServerState:
     """Fold NEW observed images into the serving posterior — streaming
     conditioning at the server, no training set and no training step.
@@ -188,9 +189,18 @@ def observe(
 
     The GP/VAE parameters are NOT updated — this is Bayesian conditioning,
     not training; observations of objects/views outside the trained P×Q
-    grid need a training run (their X/W rows don't exist)."""
+    grid need a training run (their X/W rows don't exist).
+
+    row_mask (n,) ∈ {0, 1}: weight-0 rows contribute NOTHING to the update
+    (their scaled feature row is zeroed, so both U₊ᵀU₊ and U₊ᵀZ₊ drop
+    them exactly) — lets a fixed-shape compiled fold absorb variable-sized
+    observation batches by padding, the same XLA-native discipline the
+    stdin request loop uses."""
     V_new = gp.build_effect_rows(state.X, state.W, d, q,
                                  extra_effects=extra_effects, x_map=x_map)
+    if row_mask is not None:
+        m = row_mask.astype(V_new[0].dtype)[:, None]
+        V_new = [v * m for v in V_new]
     if len(V_new) != state.v_sig.shape[0]:
         raise ValueError(
             f"extra_effects={extra_effects!r} builds {len(V_new)} effect(s) "
@@ -358,16 +368,28 @@ def x_map_from_meta(meta: dict, in_dim: int):
 
 
 def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
-                      args, lines=None) -> None:
-    """Persistent serving loop (serve --stdin): one request batch per input
-    line ('d:q,d:q,…'), one JSON response line + .npz per batch, EOF ends.
+                      args, lines=None, meta: dict | None = None) -> None:
+    """Persistent ONLINE serving loop (serve --stdin): one command per input
+    line, one JSON response line each, EOF ends. Commands:
+
+        d:q,d:q,…         answer a request batch (writes a .npz per batch)
+        observe <npz>     fold new observed images into the posterior
+                          (streaming conditioning — subsequent requests are
+                          answered from the sharpened posterior)
+        save <path>       persist the current (possibly updated) server
+                          state + .meta.json sidecar
 
     TPU-native shape discipline: every line is padded (and, past
     --max_batch, chunked) to ONE fixed batch size, so the whole loop runs a
-    single compiled program — a varying-length request stream never
-    triggers a recompile (CLAUDE.md: fresh programs cost ~30-60 s through
-    the relay; a naive per-shape jit would pay that on every new batch
-    size). `lines` overrides sys.stdin for tests."""
+    single compiled program per command kind — a varying-length
+    request/observation stream never triggers a recompile (CLAUDE.md: fresh
+    programs cost ~30-60 s through the relay; a naive per-shape jit would
+    pay that on every new batch size). The observe fold pads with
+    weight-0 rows (observe's row_mask) for the same reason; its program
+    compiles lazily on the first observe line so pure request streams
+    never pay for it. The state is a pytree ARGUMENT of the compiled
+    programs, so a fold swaps it without recompiling anything.
+    `lines` overrides sys.stdin for tests."""
     import json
     import os
     import sys
@@ -387,13 +409,69 @@ def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
     )
     zeros = jnp.zeros((B,), jnp.int32)
     jax.block_until_ready(served(state, zeros, zeros))  # the ONE compile
+    fold = jax.jit(
+        lambda s, imgs, dd, qq, m: observe(model, s, imgs, dd, qq,
+                                           x_map=x_map, extra_effects=extra,
+                                           row_mask=m)
+    )  # compiled lazily: first observe line pays it, request lines don't
     os.makedirs(args.outdir, exist_ok=True)
-    print(json.dumps({"ready": True, "grid": [P, Q], "max_batch": B}),
+    print(json.dumps({"ready": True, "grid": [P, Q], "max_batch": B,
+                      "commands": ["d:q,…", "observe <npz>", "save <path>"]}),
           flush=True)
+
+    def _observe_line(k: int, path: str) -> None:
+        nonlocal state
+        with np.load(path, allow_pickle=False) as f:
+            keys = set(f.files)
+            imgs = np.asarray(f["images"], np.float32)
+            dd = np.asarray(
+                f["objects" if "objects" in keys else "object_ids"], np.int32)
+            qq = np.asarray(
+                f["views" if "views" in keys else "view_ids"], np.int32)
+        if tuple(imgs.shape[1:]) != tuple(model.image_shape):
+            raise ValueError(
+                f"observed images are {tuple(imgs.shape[1:])} but the model "
+                f"serves {tuple(model.image_shape)}"
+            )
+        if not (imgs.shape[0] == dd.shape[0] == qq.shape[0]):
+            raise ValueError("observe npz arrays disagree on n")
+        if ((dd < 0) | (dd >= P) | (qq < 0) | (qq >= Q)).any():
+            raise ValueError(f"observed cells outside the {P}×{Q} grid")
+        n = imgs.shape[0]
+        t0 = time.perf_counter()
+        for s0 in range(0, n, B):
+            chunk = slice(s0, min(s0 + B, n))
+            m = chunk.stop - chunk.start
+            ib = np.zeros((B, *model.image_shape), np.float32)
+            db = np.zeros((B,), np.int32)
+            qb = np.zeros((B,), np.int32)
+            mask = np.zeros((B,), np.float32)
+            ib[:m], db[:m], qb[:m], mask[:m] = imgs[chunk], dd[chunk], qq[chunk], 1.0
+            state = fold(state, jnp.asarray(ib), jnp.asarray(db),
+                         jnp.asarray(qb), jnp.asarray(mask))
+        jax.block_until_ready(state.core.M)
+        print(json.dumps({
+            "line": k, "observed": int(n),
+            "fold_s": round(time.perf_counter() - t0, 5),
+        }), flush=True)
 
     for k, line in enumerate(lines if lines is not None else sys.stdin):
         line = line.strip()
         if not line:
+            continue
+        if line.startswith("observe ") or line.startswith("save "):
+            try:
+                if line.startswith("observe "):
+                    _observe_line(k, line[len("observe "):].strip())
+                else:
+                    path = line[len("save "):].strip()
+                    save_meta = {kk: v for kk, v in (meta or {}).items()
+                                 if kk != "nystrom_idx"}
+                    save_server_state(path, state, meta=save_meta,
+                                      nystrom_idx=(meta or {}).get("nystrom_idx"))
+                    print(json.dumps({"line": k, "saved": path}), flush=True)
+            except (ValueError, OSError) as e:
+                print(json.dumps({"line": k, "error": str(e)}), flush=True)
             continue
         try:
             pairs = [tuple(int(x) for x in r.split(":"))
@@ -584,11 +662,14 @@ def main(argv=None):
     p.add_argument("--requests", default=None,
                    help="comma-separated object:view pairs, e.g. 3:2,5:0")
     p.add_argument("--stdin", action="store_true",
-                   help="persistent serving loop: read one request batch "
-                        "per stdin line ('3:2,5:0' format), answer each "
-                        "with a JSON line (+ .npz under --outdir), exit on "
-                        "EOF. Batches are padded to --max_batch so EVERY "
-                        "line reuses ONE compiled program (no per-shape "
+                   help="persistent ONLINE serving loop: one command per "
+                        "stdin line — 'd:q,d:q,…' answers a request batch "
+                        "(JSON line + .npz under --outdir), 'observe "
+                        "<npz>' folds new observed images into the "
+                        "posterior (streaming conditioning), 'save <path>' "
+                        "persists the updated state; EOF exits. Everything "
+                        "is padded to --max_batch so each command kind "
+                        "reuses ONE compiled program (no per-shape "
                         "recompiles — the XLA-native way to serve varying "
                         "request sizes)")
     p.add_argument("--max_batch", type=int, default=64,
@@ -749,7 +830,8 @@ def main(argv=None):
             " posterior-mean path; drop --sample or the throughput flag"
         )
     if args.stdin:
-        _serve_stdin_loop(model, state, x_map, extra, args)
+        _serve_stdin_loop(model, state, x_map, extra, args,
+                          meta=meta)
         return
 
     pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]

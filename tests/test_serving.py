@@ -508,6 +508,65 @@ def test_serve_stdin_loop(tmp_path, capsys, trained):
                                rtol=1e-6, atol=1e-9)
 
 
+def test_serve_stdin_online_observe(tmp_path, capsys, trained):
+    """The persistent loop is a true ONLINE server: 'observe <npz>' lines
+    fold new observations between request lines (variance at the observed
+    cell shrinks in the SAME session, no restart, no recompile), 'save'
+    persists the updated artifact, and the padded/chunked fold matches the
+    direct observe() path. Bad observe lines error without killing the
+    loop."""
+    import argparse
+    import json
+
+    from gppvae_tpu.eval import load_server_state
+    from gppvae_tpu.eval.serving import _serve_stdin_loop, observe
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    # 5 observations with max_batch=4 → exercises chunking AND padding
+    obs = str(tmp_path / "obs.npz")
+    np.savez_compressed(obs, images=np.asarray(y_ho[:5]),
+                        objects=np.asarray(d_ho[:5]),
+                        views=np.asarray(q_ho[:5]))
+    saved = str(tmp_path / "updated.srv")
+    req = f"{int(d_ho[0])}:{int(q_ho[0])}"
+    args = argparse.Namespace(max_batch=4, outdir=str(tmp_path))
+    lines = [
+        req,                        # before: wide posterior
+        f"observe {obs}",           # fold 5 rows (chunks of 4 + padded 1)
+        req,                        # after: sharpened
+        f"save {saved}",            # persist the updated state
+        "observe /nonexistent.npz",  # bad line → error, loop survives
+        req,                        # still serving
+    ]
+    _serve_stdin_loop(res.model, state, None, (), args, lines=lines,
+                      meta={"object_kernel": "linear"})
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert "observe <npz>" in " ".join(out[0]["commands"])
+    before, folded, after, savedrec, err, again = out[1:7]
+    assert folded["observed"] == 5 and folded["fold_s"] >= 0
+    v0 = before["posterior_var"][0]
+    v1 = after["posterior_var"][0]
+    assert v1 < v0, "observing a cell mid-session must sharpen it"
+    assert savedrec["saved"] == saved
+    assert "error" in err and "Nonexistent" in err["error"] or "error" in err
+    assert again["posterior_var"][0] == pytest.approx(v1, rel=1e-6)
+
+    # the padded, chunked stdin fold == the one-shot library fold
+    state_direct = observe(res.model, state, y_ho[:5], d_ho[:5], q_ho[:5])
+    state_saved, meta = load_server_state(saved)
+    assert meta["object_kernel"] == "linear"
+    np.testing.assert_allclose(np.asarray(state_saved.core.M),
+                               np.asarray(state_direct.core.M),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_saved.core.G),
+                               np.asarray(state_direct.core.G),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_serving_jit_stable_shapes(trained):
     """One compiled program serves arbitrary request batches of one size."""
     ds, res = trained
