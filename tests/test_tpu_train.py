@@ -73,3 +73,17 @@ def test_serving_fold_and_throughput_on_tpu():
                         jax.random.PRNGKey(0), 3)
     assert y_s.shape == (2, 3, *ds.image_shape)
     assert np.isfinite(np.asarray(y_s)).all()
+
+    # streaming conditioning on-chip: fold the heldout rows, variance at
+    # the observed cells shrinks, and the SAME compiled `served` program
+    # answers from the updated state (the state is an argument)
+    from gppvae_tpu.eval.serving import observe
+
+    served_v = jax.jit(lambda s, dd, qq: predict_images(
+        res.model, s, dd, qq, return_var=True))
+    _, var0 = jax.device_get(served_v(state, d, q))
+    state2 = observe(res.model, state,
+                     jnp.asarray(ds.images[ds.heldout_idx]), d, q)
+    y2, var1 = jax.device_get(served_v(state2, d, q))
+    assert np.isfinite(y2).all()
+    assert (var1 <= var0 + 1e-6).all() and (var1 < var0 - 1e-6).any()
