@@ -173,6 +173,7 @@ def observe(
     extra_effects: tuple = (),
     encode_chunk: int = 1024,
     row_mask: jax.Array | None = None,
+    batch_sharding=None,
 ) -> ServerState:
     """Fold NEW observed images into the serving posterior — streaming
     conditioning at the server, no training set and no training step.
@@ -195,7 +196,11 @@ def observe(
     (their scaled feature row is zeroed, so both U₊ᵀU₊ and U₊ᵀZ₊ drop
     them exactly) — lets a fixed-shape compiled fold absorb variable-sized
     observation batches by padding, the same XLA-native discipline the
-    stdin request loop uses."""
+    stdin request loop uses.
+
+    batch_sharding (parallel.row_sharding(mesh)): shard the new rows'
+    encode over a mesh, exactly like build_server_state's fold — the
+    extended core stays tiny and replicated."""
     V_new = gp.build_effect_rows(state.X, state.W, d, q,
                                  extra_effects=extra_effects, x_map=x_map)
     if row_mask is not None:
@@ -208,7 +213,8 @@ def observe(
             "pass the extra_effects recorded in the artifact's meta"
         )
     Z_new = encode_all(model, state.vae_params, images,
-                       min(encode_chunk, images.shape[0]))
+                       min(encode_chunk, images.shape[0]),
+                       batch_sharding=batch_sharding)
     v_sigs = [state.v_sig[i] for i in range(len(V_new))]
     core2 = gp.extend_posterior_core(state.core, V_new, v_sigs, Z_new)
     return state._replace(core=core2)

@@ -205,6 +205,22 @@ def test_serving_on_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-6)
 
+    # streaming conditioning composes with the mesh too: the sharded-encode
+    # fold of new rows equals the single-device fold
+    from gppvae_tpu.eval.serving import observe
+
+    y_obs = jnp.asarray(ds.images[ho])
+    ref2 = observe(res.model, ref_state, y_obs, d_ho, q_ho)
+    mesh2 = observe(res.model, mesh_state, shard_rows(mesh, y_obs),
+                    d_ho, q_ho, batch_sharding=sh, encode_chunk=8)
+    np.testing.assert_allclose(np.asarray(mesh2.core.M),
+                               np.asarray(ref2.core.M),
+                               rtol=1e-5, atol=1e-6)
+    y_ref2 = predict_images(res.model, ref2, d_ho, q_ho)
+    y_mesh2 = predict_images(res.model, mesh2, d_ho, q_ho)
+    np.testing.assert_allclose(np.asarray(y_mesh2), np.asarray(y_ref2),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_gppvae_mesh_nondivisible_n_matches_single_device():
     """Mesh exactness for ANY N (round-2 VERDICT Missing #2): when
