@@ -135,13 +135,25 @@ def sample_images(
     *,
     x_map=None,
     extra_effects: tuple = (),
+    joint: bool = False,
+    jitter: float = 1e-6,
 ):
     """Posterior SAMPLING at serve time: K decoded draws per requested
     (object, view) row from N(μ*, σ*² I_L), using the folded core's mean
     AND variance (the serving counterpart of the generate CLI's
     --posterior_sample). Returns (n, K, H, W, C) — per-request uncertainty
     rendered as image diversity, still O(R) GP work + K decoder forwards
-    per row and N-independent."""
+    per row and N-independent.
+
+    joint=True draws COHERENT samples across the whole request batch from
+    the full n×n posterior covariance (gp.predict_cov_from_core): sample k
+    is one consistent scene over all requested cells — rows of the same
+    object keep their posterior correlation (e.g. all views of one object
+    vary together), which independent per-row draws (the default, and the
+    only thing a diagonal variance can do) throw away. Cost on top of the
+    diagonal path: one n×n Cholesky per batch (jitter stabilizes it —
+    duplicate request rows make Cov + v_n I nearly rank-deficient when
+    v_n is tiny)."""
     V_star = gp.build_effect_rows(state.X, state.W, d, q,
                                   extra_effects=extra_effects, x_map=x_map)
     if len(V_star) != state.v_sig.shape[0]:
@@ -151,6 +163,20 @@ def sample_images(
             "pass the extra_effects recorded in the artifact's meta"
         )
     v_sigs = [state.v_sig[i] for i in range(len(V_star))]
+    if joint:
+        mean, cov = gp.predict_cov_from_core(V_star, state.core, v_sigs)
+        n, L = mean.shape
+        Lc = jnp.linalg.cholesky(
+            cov + jitter * jnp.eye(n, dtype=cov.dtype)
+        )
+        eps = jax.random.normal(key, (n, num_samples, L), mean.dtype)
+        # z[:, k, l] = mean[:, l] + Lc @ eps[:, k, l] — per (sample, dim)
+        # the draw is one correlated n-vector over the request rows
+        z = mean[:, None, :] + jnp.einsum("ij,jkl->ikl", Lc, eps)
+        logits = model.apply(state.vae_params, z.reshape(n * num_samples, L),
+                             method=VAE.decode)
+        y = jax.nn.sigmoid(logits)
+        return y.reshape(n, num_samples, *y.shape[1:])
     mean, var = gp.predict_from_core(V_star, state.core, v_sigs,
                                      return_var=True)
     n, L = mean.shape
@@ -683,6 +709,13 @@ def main(argv=None):
                         "lines are split into chunks of this size")
     p.add_argument("--sample", type=int, default=0,
                    help="decode K posterior draws per cell instead of the mean")
+    p.add_argument("--joint", action="store_true",
+                   help="with --sample: draw the K samples JOINTLY over the "
+                        "whole request batch from the full n×n posterior "
+                        "covariance (sample k is one coherent scene across "
+                        "all requested cells, preserving cross-request "
+                        "posterior correlation), instead of independently "
+                        "per cell from the diagonal variance")
     p.add_argument("--var", action="store_true",
                    help="also report the GP-predictive latent variance per cell")
     p.add_argument("--repeat", type=int, default=0,
@@ -848,13 +881,18 @@ def main(argv=None):
     d = jnp.asarray([r[0] for r in pairs], jnp.int32)
     q = jnp.asarray([r[1] for r in pairs], jnp.int32)
 
+    if args.joint and not args.sample:
+        raise SystemExit("serve: --joint modifies --sample; pass --sample K")
     t0 = time.perf_counter()
     out = {"n_requests": len(pairs), "state": args.state}
     if args.sample:
         y = sample_images(model, state, d, q, jax.random.PRNGKey(args.seed),
-                          args.sample, x_map=x_map, extra_effects=extra)
+                          args.sample, x_map=x_map, extra_effects=extra,
+                          joint=args.joint)
         rows = [np.asarray(y[i]) for i in range(len(pairs))]  # one row/cell
         out["samples_per_request"] = args.sample
+        if args.joint:
+            out["joint"] = True
     else:
         res = predict_images(model, state, d, q, x_map=x_map,
                              extra_effects=extra, return_var=args.var)

@@ -27,6 +27,7 @@ from gppvae_tpu.gp.woodbury import (
     extend_posterior_core,
     posterior_core,
     PosteriorCore,
+    predict_cov_from_core,
     predict_from_core,
     predict_latents,
     scaled_features,
@@ -66,6 +67,7 @@ __all__ = [
     "extend_posterior_core",
     "posterior_core",
     "PosteriorCore",
+    "predict_cov_from_core",
     "predict_from_core",
     "predict_latents",
     "build_effect_rows",

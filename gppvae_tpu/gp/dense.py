@@ -46,3 +46,13 @@ def dense_predict(
 ) -> jax.Array:
     """z* = K(*, train) K⁻¹ Z by dense solve."""
     return K_star_train @ jnp.linalg.solve(K, Z)
+
+
+def dense_predict_cov(
+    K_star_train: jax.Array, K_star_star: jax.Array, K: jax.Array
+) -> jax.Array:
+    """Joint posterior covariance over the * rows by dense solve:
+    Cov = K(*,*) − K(*,·) K⁻¹ K(·,*). K_star_star must already include the
+    new rows' noise term (v_n I) if the Woodbury side being checked does
+    (predict_cov_from_core always adds it)."""
+    return K_star_star - K_star_train @ jnp.linalg.solve(K, K_star_train.T)

@@ -265,6 +265,45 @@ def predict_from_core(
     return mean, var
 
 
+def predict_cov_from_core(
+    V_star: Sequence[jax.Array] | jax.Array,
+    core: PosteriorCore,
+    v_sigs: Sequence[jax.Array] | jax.Array,
+):
+    """Joint predictive posterior over a whole request batch: mean (n, L)
+    and the FULL n×n covariance across the requested rows (shared by the L
+    iid latent dims) — where predict_from_core's return_var exposes only
+    the diagonal.
+
+    The cross-row covariance from the Woodbury pieces collapses to one
+    R-sized solve:
+
+        Cov = U* U*ᵀ + v_n I − U* G B⁻¹ U*ᵀ / v_n
+            = U* B⁻¹ U*ᵀ + v_n I
+
+    because I − G B⁻¹ / v_n = B⁻¹ (B = I + G/v_n, and B⁻¹ commutes with G).
+    diag(Cov) equals predict_from_core's per-row variance exactly (tested),
+    and the whole thing is computable from the serving core alone —
+    O(n·R² + n²·R), still N-independent. This is what coherent JOINT
+    posterior sampling needs (eval/serving.sample_images joint=True):
+    requests of the same object from nearby views are strongly correlated
+    under the posterior, which independent per-row draws throw away. The
+    reference's predictive path (SURVEY.md §3.4) returns means only —
+    no variance, let alone covariance.
+    """
+    if isinstance(V_star, jax.Array) or not isinstance(V_star, (list, tuple)):
+        V_star = [V_star]
+    if isinstance(v_sigs, jax.Array) or not isinstance(v_sigs, (list, tuple)):
+        v_sigs = [v_sigs]
+    U_star = _scaled_features(V_star, [jnp.asarray(v) for v in v_sigs])
+    mean = U_star @ core.M
+    Y = jax.scipy.linalg.cho_solve((core.Lb, True), U_star.T)  # B⁻¹ U*ᵀ
+    cov = U_star @ Y + core.v_noise * jnp.eye(
+        U_star.shape[0], dtype=U_star.dtype
+    )
+    return mean, cov
+
+
 def predict_latents(
     V_star: Sequence[jax.Array] | jax.Array,
     factors: GPFactors,

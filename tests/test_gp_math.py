@@ -263,3 +263,40 @@ def test_predictive_variance_matches_dense():
     np.testing.assert_allclose(mean, dense.dense_predict(K_star, K, Z), rtol=1e-8)
     np.testing.assert_allclose(var, var_dense, rtol=1e-8)
     assert (np.asarray(var) > 0).all()
+
+
+def test_predictive_cov_matches_dense():
+    """predict_cov_from_core: the full n×n joint posterior covariance from
+    the R-sized core equals the dense-oracle K** − K*· K⁻¹ K·* (+ vₙI),
+    its diagonal equals predict_from_core's per-row variance exactly, it
+    is PSD, and duplicated request rows satisfy the algebraic identity
+    cov[i,j] = cov[i,i] − v_noise (identical cells differ only by their
+    independent noise)."""
+    key = jax.random.PRNGKey(22)
+    Z, V, v_sig, v_noise, (X, W, d, q) = _random_problem(key)
+    # rows 0 and 3 are the SAME (object, view) cell
+    d_star = jnp.array([1, 4, 9, 1], dtype=d.dtype)
+    q_star = jnp.array([0, 2, 3, 0], dtype=q.dtype)
+    V_star = gp.build_V(X, W, d_star, q_star, normalize_X=True, normalize_W=True)
+
+    factors = gp.factorize(V, v_sig, v_noise)
+    core = gp.posterior_core(factors, Z)
+    mean, cov = gp.predict_cov_from_core(V_star, core, v_sig)
+
+    K = dense.materialize_K(V, v_sig, v_noise)
+    K_star = v_sig * (V_star @ V.T)
+    K_ss = v_sig * (V_star @ V_star.T) + v_noise * jnp.eye(4, dtype=K.dtype)
+    cov_dense = dense.dense_predict_cov(K_star, K_ss, K)
+    np.testing.assert_allclose(cov, cov_dense, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(mean, dense.dense_predict(K_star, K, Z), rtol=1e-8)
+
+    mean2, var = gp.predict_from_core(V_star, core, v_sig, return_var=True)
+    np.testing.assert_allclose(np.diagonal(np.asarray(cov)), var, rtol=1e-9)
+    np.testing.assert_allclose(mean, mean2, rtol=0)
+
+    assert (np.linalg.eigvalsh(np.asarray(cov)) > 0).all()
+    np.testing.assert_allclose(
+        cov[0, 3], cov[0, 0] - v_noise, rtol=1e-9
+    )
+    # symmetry (the B⁻¹ quadratic form must come out exactly symmetric)
+    np.testing.assert_allclose(cov, np.asarray(cov).T, rtol=1e-12)

@@ -755,3 +755,62 @@ def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
         serve_main(["--exe", exe, "--requests", "1:0", "--sample", "2"])
     with pytest.raises(SystemExit, match="exactly one"):
         serve_main(["--exe", exe, "--state", srv, "--requests", "1:0"])
+
+
+def test_serving_joint_posterior_sampling(trained):
+    """sample_images(joint=True): coherent draws over the request batch
+    from the FULL n×n posterior covariance (gp.predict_cov_from_core).
+    Shape/determinism match the independent path; for a DUPLICATED request
+    cell the per-sample image difference must shrink vs independent draws
+    (identical rows share everything but their v_n noise — cov[0,1] =
+    var − v_n, the identity pinned in test_gp_math), which the diagonal
+    path cannot represent. Deterministic under the fixed key, so the
+    margin is reproducible, not statistical."""
+    from gppvae_tpu.eval import sample_images
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    # same held-out cell requested twice
+    d2 = jnp.stack([d_ho[0], d_ho[0]])
+    q2 = jnp.stack([q_ho[0], q_ho[0]])
+    key = jax.random.PRNGKey(3)
+    K = 48
+    yj = np.asarray(sample_images(res.model, state, d2, q2, key, K, joint=True))
+    yi = np.asarray(sample_images(res.model, state, d2, q2, key, K, joint=False))
+    assert yj.shape == (2, K, *ds.image_shape)
+    assert np.all(np.isfinite(yj))
+    yj2 = np.asarray(sample_images(res.model, state, d2, q2, key, K, joint=True))
+    np.testing.assert_array_equal(yj, yj2)
+    # draws still diverse across samples
+    assert float(np.max(np.std(yj, axis=1))) > 1e-4
+    msd_joint = float(np.mean(np.square(yj[0] - yj[1])))
+    msd_indep = float(np.mean(np.square(yi[0] - yi[1])))
+    assert msd_joint < 0.97 * msd_indep, (msd_joint, msd_indep)
+
+
+def test_serve_cli_joint_requires_sample(tmp_path, capsys, trained):
+    from gppvae_tpu.eval import save_server_state
+    from gppvae_tpu.eval import serving as serving_mod
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, _, _, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    path = str(tmp_path / "m.srv")
+    save_server_state(path, state, meta={
+        "zdim": 8, "image_shape": list(ds.image_shape),
+        "enc_features": [8, 16], "dec_features": [16, 8],
+    })
+    with pytest.raises(SystemExit):
+        serving_mod.main(["--state", path, "--requests", "0:0", "--joint",
+                          "--outdir", str(tmp_path)])
+    serving_mod.main(["--state", path, "--requests", "0:0,0:1,1:0",
+                     "--sample", "3", "--joint", "--outdir", str(tmp_path)])
+    import json
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["joint"] is True and out["samples_per_request"] == 3
+    assert (tmp_path / "served.npz").exists()
