@@ -303,6 +303,89 @@ def sample_posterior(
     return np.asarray(y_s), float(var)
 
 
+def sample_posterior_sweep(
+    state: dict,
+    dataset: GridDataset,
+    object_id: int,
+    num_samples: int,
+    *,
+    zdim: int,
+    enc_features=(32, 64, 128),
+    dec_features=(128, 64, 32),
+    object_kernel: str = "linear",
+    rff_features: int = 32,
+    rff_lengthscale: float = 1.0,
+    extra_effects: tuple = (),
+    seed: int = 0,
+    dec_upsample: str = "resize",
+    compute_dtype: str = "float32",
+    jitter: float = 1e-6,
+) -> tuple[np.ndarray, np.ndarray]:
+    """COHERENT posterior sampling over one object's FULL view sweep: K
+    joint draws of all Q views at once from the exact Q×Q posterior
+    covariance (gp.predict_cov_from_core — Cov = U*B⁻¹U*ᵀ + vₙI from the
+    R-sized core), so each draw is one self-consistent object seen from
+    every view, not Q independently-wobbled cells. Views of the same
+    object are strongly correlated under the GP posterior (they share the
+    object's x_d row); sample_posterior's per-cell N(μ*, σ*²) draws throw
+    that correlation away, which is exactly what a whole-sweep panel makes
+    visible: here a sample row drifts COHERENTLY (the object identity
+    wobbles, the view structure stays), there each cell wobbles alone.
+
+    Returns (images (K, Q, H, W, C), per-view posterior variance (Q,))."""
+    params = state["params"]
+    fixed_W = state.get("fixed_W")
+    if not 0 <= object_id < dataset.num_objects:
+        raise ValueError(
+            f"object {object_id} out of range [0, {dataset.num_objects})"
+        )
+    model, x_map = _model_and_xmap(
+        state, dataset, zdim=zdim, enc_features=enc_features,
+        dec_features=dec_features, object_kernel=object_kernel,
+        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
+        dec_upsample=dec_upsample, compute_dtype=compute_dtype,
+    )
+    tr = dataset.train_idx
+    images_tr = jnp.asarray(dataset.images[tr])
+    d_tr = jnp.asarray(dataset.object_ids[tr])
+    q_tr = jnp.asarray(dataset.view_ids[tr])
+    v_sig, v_noise = gp.variances_from_log(
+        params["gp"]["log_vs"], params["gp"]["log_vn"]
+    )
+    v_sig = jnp.reshape(v_sig, (-1,))
+    Q = dataset.num_views
+    d_star = jnp.full((Q,), object_id, jnp.int32)
+    q_star = jnp.arange(Q, dtype=jnp.int32)
+
+    @jax.jit
+    def run(params, fixed_W):
+        Z0 = encode_all(model, params["vae"], images_tr, min(1024, len(tr)))
+        Wp = params["gp"].get("W", fixed_W)
+        V_tr = gp.build_effect_rows(params["gp"]["X"], Wp, d_tr, q_tr,
+                                    extra_effects=tuple(extra_effects),
+                                    x_map=x_map)
+        V_star = gp.build_effect_rows(params["gp"]["X"], Wp, d_star, q_star,
+                                      extra_effects=tuple(extra_effects),
+                                      x_map=x_map)
+        v_sigs = [v_sig[i] for i in range(len(V_tr))]
+        factors = gp.factorize(V_tr, v_sigs, v_noise)
+        core = gp.posterior_core(factors, Z0)
+        mean, cov = gp.predict_cov_from_core(V_star, core, v_sigs)
+        L = mean.shape[1]
+        Lc = jnp.linalg.cholesky(cov + jitter * jnp.eye(Q, dtype=cov.dtype))
+        eps = jax.random.normal(
+            jax.random.PRNGKey(seed), (Q, num_samples, L), mean.dtype
+        )
+        z = mean[:, None, :] + jnp.einsum("ij,jkl->ikl", Lc, eps)
+        logits = model.apply(params["vae"], z.reshape(Q * num_samples, L),
+                             method=VAE.decode)
+        y = jax.nn.sigmoid(logits)
+        return y.reshape(Q, num_samples, *y.shape[1:]), jnp.diagonal(cov)
+
+    y_s, var = run(params, fixed_W)
+    return np.asarray(jnp.swapaxes(y_s, 0, 1)), np.asarray(var)
+
+
 def main(argv=None):
     import argparse
 
@@ -330,6 +413,13 @@ def main(argv=None):
                         "calibrated σ*, rendered as image diversity)")
     p.add_argument("--view", type=int, default=0,
                    help="view id for --posterior_sample (default 0)")
+    p.add_argument("--joint", action="store_true",
+                   help="with --posterior_sample --object: draw the K "
+                        "samples JOINTLY over the object's FULL view sweep "
+                        "from the exact Q×Q posterior covariance (each "
+                        "panel row is one coherent scene across all views; "
+                        "--view is ignored), instead of per-cell draws "
+                        "from the diagonal variance")
     p.add_argument("--export_server", default=None, metavar="PATH",
                    help="fold the GP posterior into an R-sized server state "
                         "(eval/serving.py) and save the deployment artifact")
@@ -408,9 +498,31 @@ def main(argv=None):
             "rank": int(srv.core.M.shape[0]), "zdim": int(srv.core.M.shape[1]),
         }))
         return
+    if args.joint and not args.posterior_sample:
+        raise SystemExit("--joint modifies --posterior_sample; pass "
+                         "--posterior_sample K --object D")
     if args.posterior_sample:
         if args.object is None:
             raise SystemExit("--posterior_sample needs --object (and --view)")
+        if args.joint:
+            y_s, var = sample_posterior_sweep(
+                state, ds, args.object, args.posterior_sample, **arch
+            )
+            truth = ds.images[
+                (ds.object_ids == args.object).nonzero()[0]
+            ][np.argsort(ds.view_ids[(ds.object_ids == args.object)])]
+            path = os.path.join(
+                outdir, f"posterior_sweep_obj{args.object}.png"
+            )
+            # one panel row per joint draw: a coherent scene across views
+            save_panel(path, ([truth] if len(truth) else [])
+                       + [y_s[k] for k in range(len(y_s))])
+            print(json.dumps({
+                "posterior_sweep_panel": path, "object": args.object,
+                "n": int(args.posterior_sample),
+                "posterior_var": [round(float(v), 6) for v in var],
+            }))
+            return
         y_s, var = sample_posterior(
             state, ds, args.object, args.view, args.posterior_sample, **arch
         )

@@ -209,6 +209,25 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     w, _h = Image.open(panel).size
     assert w >= 5 * 32, f"panel width {w}: sample columns were truncated"
 
+    # joint sweep: K COHERENT draws over the object's full view row from
+    # the exact Q×Q posterior covariance — one panel row per draw, a
+    # per-view variance vector reported
+    main([*common, "--posterior_sample", "3", "--object", "3", "--joint"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n"] == 3 and rec["object"] == 3
+    assert len(rec["posterior_var"]) == 8
+    assert all(np.isfinite(v) and v > 0 for v in rec["posterior_var"])
+    sweep = tmp_path / "run" / "posterior_sweep_obj3.png"
+    assert sweep.exists()
+    w, h = Image.open(sweep).size
+    assert w >= 8 * 32 and h >= 4 * 32, (w, h)  # truth + 3 draws × 8 views
+
+    # --joint without --posterior_sample is an error, not a silent no-op
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([*common, "--joint"])
+
 
 def test_generate_cli_defaults_dataset_from_sidecar(tmp_path, capsys):
     """A run trained with a non-default seed evaluated WITHOUT dataset flags
