@@ -66,6 +66,11 @@ def encode_all(
         mu, _ = model.apply(params, unflat(images), *extra, method=method)
         return mu
 
+    nshards = _row_shard_count(batch_sharding)
+    if nshards > 1 and n % nshards == 0 and chunk % nshards == 0:
+        return _encode_all_sharded(model, params, images, chunk, method,
+                                   extra, batch_sharding, nshards)
+
     def padchunk(a):
         pad = (-n) % chunk
         padded = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
@@ -80,6 +85,76 @@ def encode_all(
 
     _, Z = jax.lax.scan(enc, None, tuple(padchunk(a) for a in (images, *extra)))
     return Z.reshape(-1, Z.shape[-1])[:n]
+
+
+def _row_shard_count(batch_sharding) -> int:
+    """Number of mesh shards the row (dim-0) axis of `batch_sharding` splits
+    into; 1 when unsharded/None."""
+    if batch_sharding is None:
+        return 1
+    spec = batch_sharding.spec
+    if not len(spec) or spec[0] is None:
+        return 1
+    axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    k = 1
+    for ax in axes:
+        k *= batch_sharding.mesh.shape[ax]
+    return k
+
+
+def _encode_all_sharded(model, params, images, chunk, method, extra,
+                        batch_sharding, D):
+    """Shard-LOCAL chunked encode: zero cross-device movement.
+
+    The naive chunking (pad N → multiple of chunk, reshape to
+    [nchunks, chunk, …]) cuts the row axis at GLOBAL offsets that never
+    align with the mesh's contiguous per-device blocks, so XLA's SPMD
+    partitioner re-lays-out the whole N×pixels array with all-to-alls and
+    collective-permutes — measured N-sized wire traffic per Phase-A refresh
+    (round-5 SPMD audit, tools/spmd_audit.py; it violated the structural
+    claim of parallel/mesh.py that only R-sized psums + DP gradient psums
+    cross the mesh). Encode is row-independent, so chunk boundaries are
+    arbitrary: cut each device's LOCAL block instead. With N = D·local and
+    S = chunk//D rows per device per step:
+
+        [N,…] → [D, local, …]        reshard-free (split of the sharded dim
+                                     at device boundaries)
+        pad local → K·S              pad on an UNSHARDED dim — device-local
+        → [D, K, S, …] → [K, D, S, …] transpose moves the named axis only —
+                                     metadata, no movement
+        scan over K, each step encodes [D·S, …] rows (D-way row-sharded)
+
+    and the inverse transform reassembles Z in the original row order, so
+    the result is bit-identical to the global chunking (same per-row conv
+    work, rows merely regrouped across scan steps). The scan axis stays K
+    (bounded activation footprint of chunk rows/step, as before)."""
+    n = images.shape[0]
+    local = n // D
+    S = chunk // D
+    K = -(-local // S)  # ceil
+
+    def to_local_chunks(a):
+        a = a.reshape(D, local, *a.shape[1:])
+        a = jnp.pad(a, ((0, 0), (0, K * S - local)) + ((0, 0),) * (a.ndim - 2))
+        a = a.reshape(D, K, S, *a.shape[2:])
+        return jnp.moveaxis(a, 1, 0)  # [K, D, S, …]
+
+    def unflat(y):
+        return y.reshape(y.shape[0], *model.image_shape) if y.ndim == 2 else y
+
+    def enc(_, rows):
+        y = rows[0].reshape(D * S, *rows[0].shape[2:])
+        y = jax.lax.with_sharding_constraint(y, batch_sharding)
+        xs = [r.reshape(D * S, *r.shape[2:]) for r in rows[1:]]
+        mu, _lv = model.apply(params, unflat(y), *xs, method=method)
+        return None, mu.reshape(D, S, mu.shape[-1])
+
+    _, Z = jax.lax.scan(
+        enc, None, tuple(to_local_chunks(a) for a in (images, *extra))
+    )
+    # [K, D, S, L] → [D, K·S, L] → drop local pad → original row order
+    Z = jnp.moveaxis(Z, 0, 1).reshape(D, K * S, -1)[:, :local]
+    return Z.reshape(n, -1)
 
 
 class ConvEncoder(nn.Module):

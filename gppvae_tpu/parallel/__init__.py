@@ -10,6 +10,11 @@ XLA do the rest). Validated without hardware on a virtual CPU mesh
 (SURVEY.md §4.5) and by __graft_entry__.dryrun_multichip.
 """
 
+from gppvae_tpu.parallel.spmd_audit import (
+    assert_wire_structure,
+    audit_fused_wire,
+    parse_collectives,
+)
 from gppvae_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
@@ -21,6 +26,9 @@ from gppvae_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "assert_wire_structure",
+    "audit_fused_wire",
+    "parse_collectives",
     "make_mesh",
     "make_mesh_2d",
     "replicated",
