@@ -34,6 +34,7 @@ from gppvae_tpu.checkpoint import load_pytree
 from gppvae_tpu.data.dataset import GridDataset
 from gppvae_tpu.eval.oos import predict_heldout
 from gppvae_tpu.eval.panels import save_panel
+from gppvae_tpu.eval.serving import decode_images, stable_cholesky
 from gppvae_tpu.models import VAE, encode_all
 
 
@@ -225,41 +226,23 @@ def sample_prior(
     return np.asarray(jax.nn.sigmoid(logits))
 
 
-def sample_posterior(
-    state: dict,
-    dataset: GridDataset,
-    object_id: int,
-    view_id: int,
-    num_samples: int,
-    *,
-    zdim: int,
-    enc_features=(32, 64, 128),
-    dec_features=(128, 64, 32),
-    object_kernel: str = "linear",
-    rff_features: int = 32,
-    rff_lengthscale: float = 1.0,
-    extra_effects: tuple = (),
-    seed: int = 0,
-    dec_upsample: str = "resize",
-    compute_dtype: str = "float32",
-) -> tuple[np.ndarray, float]:
-    """Posterior SAMPLING for one (object, view) cell: decode K draws
-    z* ~ N(μ*, σ*² I_L) from the GP-predictive posterior (mean AND variance
-    — gp.predict_latents return_var; the variance is shared across the L
-    iid latent dims). Where generate_heldout decodes only the posterior
-    mean, this renders the model's calibrated uncertainty as image
-    diversity: tight posteriors (object seen from nearby views) give
-    near-identical samples, extrapolated cells visibly vary.
-
-    Returns (images (K, H, W, C), posterior variance σ*²)."""
+def _posterior_scaffold(state, dataset, d_star, q_star, *, zdim,
+                        enc_features=(32, 64, 128),
+                        dec_features=(128, 64, 32),
+                        object_kernel: str = "linear",
+                        rff_features: int = 32,
+                        rff_lengthscale: float = 1.0,
+                        extra_effects: tuple = (), seed: int = 0,
+                        dec_upsample: str = "resize",
+                        compute_dtype: str = "float32"):
+    """Shared scaffold of sample_posterior / sample_posterior_sweep
+    (ADVICE.md round-4: the two differed only in the star rows and the
+    draw step): checkpoint→model rebuild with the grid guard, training
+    arrays, and a traceable setup(params, fixed_W) →
+    (Z0, V_star, v_sigs, factors) that runs the Phase-A encode and the
+    Woodbury factorization. Callers keep only their own draw math."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
-    if not 0 <= object_id < dataset.num_objects:
-        raise ValueError(
-            f"object {object_id} out of range [0, {dataset.num_objects})"
-        )
-    if not 0 <= view_id < dataset.num_views:
-        raise ValueError(f"view {view_id} out of range [0, {dataset.num_views})")
     model, x_map = _model_and_xmap(
         state, dataset, zdim=zdim, enc_features=enc_features,
         dec_features=dec_features, object_kernel=object_kernel,
@@ -274,11 +257,8 @@ def sample_posterior(
         params["gp"]["log_vs"], params["gp"]["log_vn"]
     )
     v_sig = jnp.reshape(v_sig, (-1,))
-    d_star = jnp.asarray([object_id], jnp.int32)
-    q_star = jnp.asarray([view_id], jnp.int32)
 
-    @jax.jit
-    def run(params, fixed_W):
+    def setup(params, fixed_W):
         Z0 = encode_all(model, params["vae"], images_tr, min(1024, len(tr)))
         Wp = params["gp"].get("W", fixed_W)
         V_tr = gp.build_effect_rows(params["gp"]["X"], Wp, d_tr, q_tr,
@@ -289,6 +269,45 @@ def sample_posterior(
                                       x_map=x_map)
         v_sigs = [v_sig[i] for i in range(len(V_tr))]
         factors = gp.factorize(V_tr, v_sigs, v_noise)
+        return Z0, V_star, v_sigs, factors
+
+    return model, params, fixed_W, setup
+
+
+def sample_posterior(
+    state: dict,
+    dataset: GridDataset,
+    object_id: int,
+    view_id: int,
+    num_samples: int,
+    *,
+    seed: int = 0,
+    **arch,
+) -> tuple[np.ndarray, float]:
+    """Posterior SAMPLING for one (object, view) cell: decode K draws
+    z* ~ N(μ*, σ*² I_L) from the GP-predictive posterior (mean AND variance
+    — gp.predict_latents return_var; the variance is shared across the L
+    iid latent dims). Where generate_heldout decodes only the posterior
+    mean, this renders the model's calibrated uncertainty as image
+    diversity: tight posteriors (object seen from nearby views) give
+    near-identical samples, extrapolated cells visibly vary.
+
+    Returns (images (K, H, W, C), posterior variance σ*²)."""
+    if not 0 <= object_id < dataset.num_objects:
+        raise ValueError(
+            f"object {object_id} out of range [0, {dataset.num_objects})"
+        )
+    if not 0 <= view_id < dataset.num_views:
+        raise ValueError(f"view {view_id} out of range [0, {dataset.num_views})")
+    d_star = jnp.asarray([object_id], jnp.int32)
+    q_star = jnp.asarray([view_id], jnp.int32)
+    model, params, fixed_W, setup = _posterior_scaffold(
+        state, dataset, d_star, q_star, seed=seed, **arch
+    )
+
+    @jax.jit
+    def run(params, fixed_W):
+        Z0, V_star, v_sigs, factors = setup(params, fixed_W)
         mean, var = gp.predict_latents(
             V_star, factors, Z0, v_sigs, return_var=True
         )
@@ -309,17 +328,9 @@ def sample_posterior_sweep(
     object_id: int,
     num_samples: int,
     *,
-    zdim: int,
-    enc_features=(32, 64, 128),
-    dec_features=(128, 64, 32),
-    object_kernel: str = "linear",
-    rff_features: int = 32,
-    rff_lengthscale: float = 1.0,
-    extra_effects: tuple = (),
     seed: int = 0,
-    dec_upsample: str = "resize",
-    compute_dtype: str = "float32",
     jitter: float = 1e-6,
+    **arch,
 ) -> tuple[np.ndarray, np.ndarray]:
     """COHERENT posterior sampling over one object's FULL view sweep: K
     joint draws of all Q views at once from the exact Q×Q posterior
@@ -333,53 +344,29 @@ def sample_posterior_sweep(
     wobbles, the view structure stays), there each cell wobbles alone.
 
     Returns (images (K, Q, H, W, C), per-view posterior variance (Q,))."""
-    params = state["params"]
-    fixed_W = state.get("fixed_W")
     if not 0 <= object_id < dataset.num_objects:
         raise ValueError(
             f"object {object_id} out of range [0, {dataset.num_objects})"
         )
-    model, x_map = _model_and_xmap(
-        state, dataset, zdim=zdim, enc_features=enc_features,
-        dec_features=dec_features, object_kernel=object_kernel,
-        rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
-        dec_upsample=dec_upsample, compute_dtype=compute_dtype,
-    )
-    tr = dataset.train_idx
-    images_tr = jnp.asarray(dataset.images[tr])
-    d_tr = jnp.asarray(dataset.object_ids[tr])
-    q_tr = jnp.asarray(dataset.view_ids[tr])
-    v_sig, v_noise = gp.variances_from_log(
-        params["gp"]["log_vs"], params["gp"]["log_vn"]
-    )
-    v_sig = jnp.reshape(v_sig, (-1,))
     Q = dataset.num_views
     d_star = jnp.full((Q,), object_id, jnp.int32)
     q_star = jnp.arange(Q, dtype=jnp.int32)
+    model, params, fixed_W, setup = _posterior_scaffold(
+        state, dataset, d_star, q_star, seed=seed, **arch
+    )
 
     @jax.jit
     def run(params, fixed_W):
-        Z0 = encode_all(model, params["vae"], images_tr, min(1024, len(tr)))
-        Wp = params["gp"].get("W", fixed_W)
-        V_tr = gp.build_effect_rows(params["gp"]["X"], Wp, d_tr, q_tr,
-                                    extra_effects=tuple(extra_effects),
-                                    x_map=x_map)
-        V_star = gp.build_effect_rows(params["gp"]["X"], Wp, d_star, q_star,
-                                      extra_effects=tuple(extra_effects),
-                                      x_map=x_map)
-        v_sigs = [v_sig[i] for i in range(len(V_tr))]
-        factors = gp.factorize(V_tr, v_sigs, v_noise)
+        Z0, V_star, v_sigs, factors = setup(params, fixed_W)
         core = gp.posterior_core(factors, Z0)
         mean, cov = gp.predict_cov_from_core(V_star, core, v_sigs)
         L = mean.shape[1]
-        Lc = jnp.linalg.cholesky(cov + jitter * jnp.eye(Q, dtype=cov.dtype))
+        Lc = stable_cholesky(cov, jitter)
         eps = jax.random.normal(
             jax.random.PRNGKey(seed), (Q, num_samples, L), mean.dtype
         )
         z = mean[:, None, :] + jnp.einsum("ij,jkl->ikl", Lc, eps)
-        logits = model.apply(params["vae"], z.reshape(Q * num_samples, L),
-                             method=VAE.decode)
-        y = jax.nn.sigmoid(logits)
+        y = decode_images(model, params["vae"], z.reshape(Q * num_samples, L))
         return y.reshape(Q, num_samples, *y.shape[1:]), jnp.diagonal(cov)
 
     y_s, var = run(params, fixed_W)

@@ -223,6 +223,56 @@ def test_extend_posterior_core_exact_f64():
         gp.extend_posterior_core(core1, V[n1:, : r - 1], v_sig, Z[n1:])
 
 
+def test_streaming_conditioning_f32_drift_bounded():
+    """Round-4 VERDICT Weak #2: a deployed server calls observe hundreds of
+    times in f32, and extend_posterior_core re-derives UᵀZ from the
+    previous solve each time (rhs = M + G·M/vₙ), so error could compound
+    unmeasured. Chain 500 f32 updates in the STRESSED regime — repeated
+    grid cells (G grows linearly in observations) and small vₙ (B = I+G/vₙ
+    ill-conditioned) — and compare against (a) a one-shot f32 refold of all
+    rows and (b) the f64 oracle. Measured (round 5): chain-vs-refold max
+    |Δmean| ≈ 2.7e-6, only ~2.4× the one-shot f32-vs-f64 error — the
+    update is self-stabilizing (each solve is anchored by the fresh
+    Cholesky of B'), so NO refold-every-K policy is needed. Pinned at 40×
+    headroom below the 1e-4 budget."""
+    rng = np.random.default_rng(0)
+    R, L, N0 = 48, 16, 200
+    pool_V = rng.standard_normal((40, R))  # 40 distinct grid cells
+    V0 = jnp.asarray(rng.standard_normal((N0, R)), jnp.float32)
+    Z0 = jnp.asarray(rng.standard_normal((N0, L)), jnp.float32)
+    vs, vn = jnp.float32(0.8), jnp.float32(0.01)
+    core = gp.posterior_core(gp.factorize([V0], [vs], vn), Z0)
+    ext = jax.jit(lambda c, V, Z: gp.extend_posterior_core(c, [V], [vs], Z))
+    Vs_all, Zs_all = [V0], [Z0]
+    for _ in range(500):
+        Vn = jnp.asarray(pool_V[rng.integers(0, 40, 2)], jnp.float32)
+        Zn = jnp.asarray(rng.standard_normal((2, L)), jnp.float32)
+        Vs_all.append(Vn)
+        Zs_all.append(Zn)
+        core = ext(core, Vn, Zn)
+    Vall, Zall = jnp.concatenate(Vs_all), jnp.concatenate(Zs_all)
+    core_fold = gp.posterior_core(gp.factorize([Vall], [vs], vn), Zall)
+    core_64 = gp.posterior_core(
+        gp.factorize([Vall.astype(jnp.float64)], [jnp.float64(0.8)],
+                     jnp.float64(0.01)),
+        Zall.astype(jnp.float64),
+    )
+    Vq = jnp.asarray(pool_V[:32], jnp.float32)
+
+    def mean(c, dt):
+        return gp.predict_from_core([Vq.astype(dt)], c, [jnp.asarray(0.8, dt)])
+
+    m_chain = mean(core, jnp.float32)
+    m_fold = mean(core_fold, jnp.float32)
+    m_64 = mean(core_64, jnp.float64)
+    drift = float(jnp.max(jnp.abs(m_chain - m_fold)))
+    fold_err = float(jnp.max(jnp.abs(m_fold.astype(jnp.float64) - m_64)))
+    chain_err = float(jnp.max(jnp.abs(m_chain.astype(jnp.float64) - m_64)))
+    assert drift <= 2.5e-6 * 10, f"chained-update drift grew: {drift}"
+    # compounding must stay the same ORDER as a single f32 fold's roundoff
+    assert chain_err <= 20 * max(fold_err, 1e-7), (chain_err, fold_err)
+
+
 def test_observe_matches_batch_build(trained):
     """serving.observe == build_server_state over the enlarged set: folding
     the heldout rows into a train-only state gives the same posterior the
@@ -751,10 +801,113 @@ def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
     with pytest.raises(ValueError, match="outside"):
         serve_main(["--exe", exe, "--requests", "999:0",
                     "--outdir", str(tmp_path / "x")])
-    with pytest.raises(SystemExit, match="sample"):
-        serve_main(["--exe", exe, "--requests", "1:0", "--sample", "2"])
+    with pytest.raises(SystemExit, match="joint"):
+        serve_main(["--exe", exe, "--requests", "1:0", "--joint"])
     with pytest.raises(SystemExit, match="exactly one"):
         serve_main(["--exe", exe, "--state", srv, "--requests", "1:0"])
+
+
+def test_export_full_serving_surface(tmp_path, capsys, trained):
+    """Round-4 VERDICT Missing #4: the exported artifact must cover the
+    FULL serving surface, not just means. Every v2 entry point —
+    var, sample (seed as argument, K a SYMBOLIC dim), sample_joint,
+    observe, predict_core — must match the rebuilt-model (--state) path
+    bit-for-bit on the same platform, and the stateful pair must let a
+    deployment stream observations without this package."""
+    import json
+
+    from gppvae_tpu.eval.serving import (
+        export_compiled_program,
+        load_compiled_program,
+        main as serve_main,
+        observe,
+        sample_images,
+    )
+
+    ds, res = trained
+    model = res.model
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    exe = str(tmp_path / "full.exe")
+    meta = export_compiled_program(model, state, exe)
+    assert set(meta["entry_points"]) == {
+        "mean", "var", "sample", "sample_joint", "observe", "predict_core"
+    }
+    assert meta["format"] == "jax.export.v2"
+
+    d = jnp.asarray([1, 3, 3], jnp.int32)
+    q = jnp.asarray([0, 2, 2], jnp.int32)  # duplicated cell exercises joint
+
+    # --- var ---
+    exp_var, _ = load_compiled_program(exe, entry="var")
+    y_e, v_e = exp_var.call(d, q)
+    y_r, v_r = predict_images(model, state, d, q, return_var=True)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_e), np.asarray(v_r), atol=1e-7)
+
+    # --- sample / sample_joint: seed is an argument, K is symbolic ---
+    for entry, joint in (("sample", False), ("sample_joint", True)):
+        exp_s, _ = load_compiled_program(exe, entry=entry)
+        for K in (2, 5):  # two K values through ONE blob
+            y_e = np.asarray(exp_s.call(d, q, jnp.int32(7),
+                                        jnp.zeros((K,), jnp.int32)))
+            y_r = np.asarray(sample_images(
+                model, state, d, q, jax.random.PRNGKey(7), K, joint=joint
+            ))
+            assert y_e.shape == (3, K, *ds.image_shape)
+            np.testing.assert_allclose(y_e, y_r, atol=1e-6,
+                                       err_msg=f"{entry} K={K}")
+
+    # --- stateful pair: observe then predict from the updated core ---
+    core0, _ = load_compiled_program(exe, entry="core")
+    np.testing.assert_array_equal(np.asarray(core0.M),
+                                  np.asarray(state.core.M))
+    exp_obs, _ = load_compiled_program(exe, entry="observe")
+    n_new = 4
+    mask = jnp.ones((n_new,), jnp.float32)
+    core1 = exp_obs.call(core0, y_ho[:n_new], d_ho[:n_new], q_ho[:n_new], mask)
+    ref_state = observe(model, state, y_ho[:n_new], d_ho[:n_new], q_ho[:n_new])
+    for f, a in zip(core1._fields, core1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(getattr(ref_state.core, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f"observe core field {f}",
+        )
+    exp_pc, _ = load_compiled_program(exe, entry="predict_core")
+    y_e, v_e = exp_pc.call(core1, d, q)
+    y_r, v_r = predict_images(model, ref_state, d, q, return_var=True)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_e), np.asarray(v_r),
+                               rtol=1e-5, atol=1e-7)
+
+    # --- CLI: --var and --sample K --joint straight from the artifact ---
+    serve_main(["--exe", exe, "--requests", "1:0,3:2", "--var",
+                "--outdir", str(tmp_path / "sv")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["entry"] == "var" and len(rec["posterior_var"]) == 2
+    serve_main(["--exe", exe, "--requests", "1:0,3:2", "--sample", "3",
+                "--joint", "--seed", "7", "--outdir", str(tmp_path / "sj")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["entry"] == "sample_joint"
+    assert rec["samples_per_request"] == 3 and rec["joint"] is True
+
+    # --- v1 back-compat: means load, uncertainty entries fail loudly ---
+    meta_path = exe + ".meta.json"
+    with open(meta_path) as f:
+        m2 = json.load(f)
+    m2_v1 = {k: v for k, v in m2.items()
+             if k in ("grid", "image_shape", "platforms", "bytes")}
+    m2_v1["format"] = "jax.export.v1"
+    with open(meta_path, "w") as f:
+        json.dump(m2_v1, f)
+    exp_mean, _ = load_compiled_program(exe)  # v1 mean still answers
+    np.testing.assert_allclose(
+        np.asarray(exp_mean.call(d, q)),
+        np.asarray(predict_images(model, state, d, q)), atol=1e-6,
+    )
+    with pytest.raises(ValueError, match="v2 re-export"):
+        load_compiled_program(exe, entry="var")
 
 
 def test_serving_joint_posterior_sampling(trained):
@@ -789,6 +942,36 @@ def test_serving_joint_posterior_sampling(trained):
     msd_joint = float(np.mean(np.square(yj[0] - yj[1])))
     msd_indep = float(np.mean(np.square(yi[0] - yi[1])))
     assert msd_joint < 0.97 * msd_indep, (msd_joint, msd_indep)
+
+
+def test_sample_images_decode_chunked_matches_single_forward(trained):
+    """Round-4 VERDICT Weak #3: a joint K-sample over an n-request batch
+    used to decode n·K rows in ONE decoder forward — an OOM/latency cliff
+    at face shapes. decode_images now chunks the forward; the chunked path
+    must be EXACTLY the unchunked math (same draws, same pixels) on a
+    deliberately large n·K that spans many chunks, including a ragged
+    final chunk."""
+    from gppvae_tpu.eval import sample_images
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, _ = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    n, K = 9, 7  # n·K = 63 rows; chunk 8 → 7 full chunks + ragged tail
+    d = jnp.tile(d_ho[:3], 3)[:n]
+    q = jnp.tile(q_ho[:3], 3)[:n]
+    key = jax.random.PRNGKey(11)
+    for joint in (False, True):
+        y_chunk = np.asarray(sample_images(
+            res.model, state, d, q, key, K, joint=joint, decode_chunk=8
+        ))
+        y_one = np.asarray(sample_images(
+            res.model, state, d, q, key, K, joint=joint, decode_chunk=None
+        ))
+        assert y_chunk.shape == (n, K, *ds.image_shape)
+        np.testing.assert_allclose(y_chunk, y_one, atol=1e-6,
+                                   err_msg=f"joint={joint}")
 
 
 def test_serve_cli_joint_requires_sample(tmp_path, capsys, trained):
