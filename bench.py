@@ -275,6 +275,18 @@ def main():
             ),
         }
 
+    def _serving_sha(model, state, d, q):
+        """sha1 of the lowered StableHLO of the serving program (host-side
+        tracing only), mirroring the trainer's program_sha1 discipline."""
+        import hashlib
+
+        from gppvae_tpu.eval import predict_images as _pi
+
+        txt = jax.jit(
+            lambda s, dd, qq: _pi(model, s, dd, qq)
+        ).lower(state, d, q).as_text()
+        return hashlib.sha1(txt.encode()).hexdigest()[:16]
+
     # ---- config 4: face-view GPPVAE at 128×128 (object×pose kernel);
     # subpixel decoder is an exact f32 rewrite and measures 1.26× at this
     # shape (round-2 A/B), so the benched config uses it
@@ -326,12 +338,58 @@ def main():
             lambda dd, qq: predict_images(fres.model, fstate, dd, qq),
             d_req, q_req, fds.num_objects, fds.num_views, 20,
         )
-        out["serving_sustained_images_per_sec"] = sus[
+        # batch size IS the protocol (decode batch is the measured
+        # efficiency lever — ADVICE.md round-4: the b50→b200 retile moved
+        # the old key ~2.8× under the same name); the key now names it so
+        # same-key values are always same-protocol
+        out["serving_sustained_b200_images_per_sec"] = sus[
             "sustained_images_per_sec"]
         out["serving_batch"] = int(d_req.shape[0])
+        # program-identity arbiter for the serving row (round-4 VERDICT
+        # Weak #4): same sha + same precision ⇒ same program, so relay
+        # drift/contention can never read as a serving regression
+        out["serving_program_sha1"] = _serving_sha(
+            fres.model, fstate, d_req, q_req)
+        out["model_dtype"] = "float32"
+        out["dec_upsample"] = "subpixel"
         return out
 
     _safe("face_view_128", _face_view)
+
+    # ---- config 4b: face-family CONVERGENCE in the driver artifact
+    # (round-4 VERDICT Weak #1: config 4 trains 6 epochs — its oos certifies
+    # nothing; the real face accuracy story lived only in builder-run
+    # soaks). 240 epochs at faces-64² is cheap (~0.013 s/epoch device,
+    # shape_explore_r4) and reaches well below the PASS threshold; the
+    # verdict rides next to the digits ordering in the artifact.
+    def _face_accuracy():
+        fds64 = build_faceplace("synthetic", num_people=50, num_poses=8,
+                                image_size=64, seed=0)
+        cfg64 = GPPVAETrainConfig(
+            mode="joint", zdim=32, epochs=240, batch_size=64,
+            obj_feature_dim=8, view_num_freqs=3, seed=0,
+            epochs_per_dispatch=40, dec_upsample="subpixel",
+            compute_dtype="bfloat16",
+        )
+        r64 = train_gppvae(fds64, cfg64, log=NullLogger())
+        curve = [float(h["oos_mse"]) for h in r64.history]
+        final = curve[-1]
+        quarter = min(curve[: len(curve) // 4])
+        # PASS = converged (threshold from the CPU-calibrated trajectory,
+        # final ≲ half the threshold at 240 epochs) AND still improving on
+        # the early best (a diverged/saturated run fails both)
+        verdict = "PASS" if (final <= 0.01 and final < quarter) else "FAIL"
+        return {
+            **_sec_stats(r64.history, 40),
+            "epochs": cfg64.epochs,
+            "oos_mse_final": round(final, 5),
+            "oos_mse_best_first_quarter": round(quarter, 5),
+            "threshold": 0.01,
+            "verdict": verdict,
+            "config": "faces-64² bf16+subpixel joint, convergence leg",
+        }
+
+    _safe("face_accuracy_64", _face_accuracy)
 
     # ---- config 5: OOS conditional-generation throughput: full protocol
     # (encoder refresh of the train latents + GP-predictive latents for the
@@ -458,9 +516,53 @@ def main():
             "batch": n_ho,
             "sustained_images_per_sec": round(K * n_ho / min(sreps)),
             "config": "bfloat16 + subpixel decoder (headline fast mode)",
+            "serving_program_sha1": _serving_sha(smodel, state, d_req, q_req),
+            "model_dtype": "bfloat16",
+            "dec_upsample": "subpixel",
         }
 
     _safe("oos_serving", _serving)
+
+    # ---- kernels block: the Pallas win regime as a RECURRING artifact
+    # (round-4 VERDICT Missing #5: every benched config runs R=56 where the
+    # dispatch correctly declines, so the 1.35–1.83× aligned-R wins lived
+    # only in human-triggered tools/kernel_ab.py runs — a regression in the
+    # fused kernel at R≥256 was driver-invisible). Methodology is
+    # kernel_ab's (imported): distinct resident buffers, device time from a
+    # profiler trace. `win_ok` certifies the BASELINE.md claim (≥~1.2× at
+    # lane-aligned R, resident regime); the NLL row records its honest
+    # status (XLA wins the ISOLATED microbench — BASELINE.md round-4 — the
+    # ratio rides for drift visibility, not as a pass gate).
+    def _kernels():
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "tools"))
+        from kernel_ab import factor_prep_rows, nll_rows
+
+        from gppvae_tpu.ops.pallas_gemm import _dispatch_factor_prep
+
+        fp = list(factor_prep_rows((256, 512), regimes=("resident",),
+                                   reps=8))
+        nll = list(nll_rows((224,)))
+        declines = _dispatch_factor_prep(
+            jnp.zeros((1024, 56), jnp.float32),
+            jnp.zeros((1024, 16), jnp.float32),
+        ) is NotImplemented
+        return {
+            "factor_prep_resident": fp,
+            "nll_r224": nll,
+            "dispatch_declines_at_r56": bool(declines),
+            "win_ok": bool(fp) and all(r["speedup"] >= 1.2 for r in fp),
+        }
+
+    if note == "tpu":
+        _safe("kernels", _kernels)
+    else:
+        # the win-regime claim is a TPU-hardware claim (MXU layouts, lane
+        # alignment); timing it elsewhere would record noise as evidence
+        configs["kernels"] = {"skipped": f"backend {note!r} is not tpu"}
 
     # ---- accuracy self-certification (round-2 VERDICT weak #2): the full
     # validate.py protocol on REAL sklearn digits in the headline fast mode

@@ -62,12 +62,11 @@ def _dev_us_per_dispatch(f, pairs) -> float:
     return s["device_time_per_dispatch_s"] * 1e6
 
 
-def nll_ab(rs):
+def nll_rows(rs):
     """A/B the Woodbury NLL core fwd+bwd: pallas (on-chip chol/solve kernel
     + X-residual backward, two MXU dots) vs xla (plain-jnp autodiff:
-    cholesky + trisolve custom calls re-run in the backward).
-
-        python tools/kernel_ab.py nll [R ...]
+    cholesky + trisolve custom calls re-run in the backward). Yields one
+    row dict per R (importable — bench.py's `kernels` block reuses it).
 
     R-sized work is ~µs — far below the relay's ~100 µs window quantization
     — so each timed dispatch CHAINS K=64 value_and_grad iterations through
@@ -111,17 +110,17 @@ def nll_ab(rs):
         row["speedup"] = round(
             row["xla_us_per_iter"] / max(row["pallas_us_per_iter"], 1e-9), 2
         )
-        print(json.dumps(row), flush=True)
+        yield row
 
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "nll":
-        nll_ab(tuple(int(a) for a in sys.argv[2:]) or (56, 128, 256, 512))
-        return
+def factor_prep_rows(rs, regimes=("resident", "produced"), reps=None):
+    """factor_prep A/B rows (one per R×regime), importable by bench.py's
+    `kernels` block. Methodology per the module docstring: distinct
+    pre-materialized buffer pairs, one jitted dispatch each, device time
+    from a profiler trace."""
     key = jax.random.PRNGKey(0)
-    rs = tuple(int(a) for a in sys.argv[1:]) or (56, 128, 256, 512, 1024)
     for R in rs:
-        M = 24 if R <= 256 else 12
+        M = reps if reps is not None else (24 if R <= 256 else 12)
         n = N // 2 if R >= 1024 else N  # keep the buffer pool under ~8 GB HBM
         pairs = [
             (jax.random.normal(jax.random.fold_in(key, R * 100 + m),
@@ -130,7 +129,7 @@ def main():
                                (n, L), jnp.float32))
             for m in range(M)
         ]
-        for regime in ("resident", "produced"):
+        for regime in regimes:
             row = {"N": n, "R": R, "L": L, "regime": regime, "reps": M}
             impls = {
                 "xla": lambda U, Z: ops.factor_prep(U, Z, impl="xla"),
@@ -145,7 +144,18 @@ def main():
                 row[f"{impl}_us"] = round(_dev_us_per_dispatch(f, pairs), 1)
             row["speedup"] = round(
                 row["xla_us"] / max(row["pallas_us"], 1e-9), 2)
+            yield row
+        del pairs
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "nll":
+        for row in nll_rows(tuple(int(a) for a in sys.argv[2:]) or (56, 128, 256, 512)):
             print(json.dumps(row), flush=True)
+        return
+    rs = tuple(int(a) for a in sys.argv[1:]) or (56, 128, 256, 512, 1024)
+    for row in factor_prep_rows(rs):
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
