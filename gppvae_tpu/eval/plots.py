@@ -44,7 +44,8 @@ def plot_history(metrics_path: str, out_path: str | None = None) -> str:
         ax.set_xlabel("epoch")
         if scale == "log":
             ax.set_yscale("symlog")
-        ax.legend(fontsize=7)
+        if ax.get_legend_handles_labels()[1]:  # no-labels legend() warns
+            ax.legend(fontsize=7)
         ax.grid(alpha=0.3)
     fig.tight_layout()
     fig.savefig(out_path, dpi=110)
