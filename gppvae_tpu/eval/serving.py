@@ -827,9 +827,45 @@ def _serve_exe(args) -> None:
 
     from gppvae_tpu.eval.panels import save_panel
 
+    core = None
+    if args.observe or args.core:
+        # stateful flow from the blobs alone: fold observations with the
+        # `observe` entry, answer with `predict_core` — the updated core is
+        # the only state, persisted as a plain npz (no package pytrees)
+        core, meta0 = load_compiled_program(args.exe, entry="core")
+        if args.core:
+            with np.load(args.core) as f:
+                core = type(core)(**{k: jnp.asarray(f[k]) for k in f.files})
+    if args.observe:
+        exp_obs, meta0 = load_compiled_program(args.exe, entry="observe")
+        P, Q = meta0["grid"]
+        with np.load(args.observe, allow_pickle=False) as f:
+            keys = set(f.files)
+            imgs = jnp.asarray(f["images"], jnp.float32)
+            d_new = jnp.asarray(
+                f["objects" if "objects" in keys else "object_ids"], jnp.int32)
+            q_new = jnp.asarray(
+                f["views" if "views" in keys else "view_ids"], jnp.int32)
+        if ((np.asarray(d_new) < 0) | (np.asarray(d_new) >= P)
+                | (np.asarray(q_new) < 0) | (np.asarray(q_new) >= Q)).any():
+            raise ValueError(f"observed cells outside the {P}×{Q} grid")
+        t0 = time.perf_counter()
+        core = exp_obs.call(core, imgs, d_new, q_new,
+                            jnp.ones((imgs.shape[0],), jnp.float32))
+        jax.block_until_ready(core.M)
+        fold_s = round(time.perf_counter() - t0, 4)
+        np.savez(args.save_core,
+                 **{f: np.asarray(v) for f, v in core._asdict().items()})
+        print(json.dumps({"observed": int(imgs.shape[0]), "fold_s": fold_s,
+                          "save_core": args.save_core}), flush=True)
+        if args.requests is None:
+            return
+
     entry = "mean"
     if args.sample:
         entry = "sample_joint" if args.joint else "sample"
+    elif core is not None:
+        entry = "predict_core"
     elif args.var:
         entry = "var"
     exp, meta = load_compiled_program(args.exe, entry=entry)
@@ -842,7 +878,14 @@ def _serve_exe(args) -> None:
     q = jnp.asarray([r[1] for r in pairs], jnp.int32)
     out = {"n_requests": len(pairs), "exe": args.exe, "entry": entry}
     t0 = time.perf_counter()
-    if args.sample:
+    if entry == "predict_core":
+        y, var = exp.call(core, d, q)
+        y = np.asarray(y)
+        rows = [y]
+        if args.var:
+            out["posterior_var"] = [round(float(v0), 6)
+                                    for v0 in np.asarray(var)]
+    elif args.sample:
         y = np.asarray(exp.call(d, q, jnp.int32(args.seed),
                                 jnp.zeros((args.sample,), jnp.int32)))
         rows = [y[i] for i in range(len(pairs))]  # one panel row per cell
@@ -964,8 +1007,15 @@ def main(argv=None):
                         "GridDataset's object_ids/view_ids keys also work. "
                         "Requires --save_state for the updated artifact")
     p.add_argument("--save_state", default=None, metavar="PATH",
-                   help="--observe: write the updated server state (+ its "
-                        ".meta.json sidecar) here")
+                   help="--observe with --state: write the updated server "
+                        "state (+ its .meta.json sidecar) here")
+    p.add_argument("--core", default=None, metavar="NPZ",
+                   help="--exe: serve from this (previously observe-updated) "
+                        "posterior core instead of the exported initial one "
+                        "(the predict_core entry; --var reports variances)")
+    p.add_argument("--save_core", default=None, metavar="NPZ",
+                   help="--exe --observe: write the updated posterior core "
+                        "here (feed back via --core)")
     p.add_argument("--outdir", default=".")
     args = p.parse_args(argv)
 
@@ -975,20 +1025,30 @@ def main(argv=None):
     if (args.state is None) == (args.exe is None):
         raise SystemExit("serve: pass exactly one of --state or --exe")
     if args.exe:
-        if args.stdin or args.export_exe or args.observe:
+        if args.stdin or args.export_exe:
             raise SystemExit(
-                "serve: --stdin/--export_exe/--observe need --state (v2 "
-                "artifacts DO export observe/predict_core entry points for "
-                "deployments — see the .meta.json entry_points table)"
+                "serve: --stdin/--export_exe need --state"
             )
-        if args.requests is None:
-            raise SystemExit("serve: --exe needs --requests")
+        if args.observe and args.save_core is None:
+            raise SystemExit(
+                "serve: --exe --observe needs --save_core for the updated "
+                "posterior core (answerable later via --core)"
+            )
+        if args.requests is None and not args.observe:
+            raise SystemExit("serve: --exe needs --requests (or --observe)")
         if args.joint and not args.sample:
             raise SystemExit("serve: --joint modifies --sample; pass --sample K")
-        if (args.repeat or args.sustained) and args.sample:
+        if args.sample and (args.observe or args.core):
+            raise SystemExit(
+                "serve: the sample entries bake the EXPORTED core; an "
+                "updated core answers means/variances via predict_core — "
+                "re-export after folding (--state path) to sample from it"
+            )
+        if (args.repeat or args.sustained) and (
+                args.sample or args.observe or args.core):
             raise SystemExit(
                 "serve: --repeat/--sustained (throughput modes) measure the"
-                " posterior-mean path; drop --sample or the throughput flag"
+                " baked posterior-mean path; drop the other flags"
             )
         _serve_exe(args)
         return

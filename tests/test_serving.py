@@ -944,6 +944,61 @@ def test_serving_joint_posterior_sampling(trained):
     assert msd_joint < 0.97 * msd_indep, (msd_joint, msd_indep)
 
 
+def test_serve_exe_stateful_cli(tmp_path, capsys, trained):
+    """Streaming conditioning from the BLOBS alone, via the CLI: `serve
+    --exe --observe obs.npz --save_core c.npz` folds with the exported
+    observe entry; `--core c.npz --requests … --var` answers from the
+    updated core via predict_core. Results must match the package-path
+    observe() + predict_images on the same observations."""
+    import json
+
+    from gppvae_tpu.eval.serving import (
+        export_compiled_program,
+        main as serve_main,
+        observe,
+    )
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    exe = str(tmp_path / "st.exe")
+    export_compiled_program(res.model, state, exe)
+
+    n_new = 3
+    obs = str(tmp_path / "obs.npz")
+    np.savez(obs, images=np.asarray(y_ho[:n_new]),
+             objects=np.asarray(d_ho[:n_new]), views=np.asarray(q_ho[:n_new]))
+    core2 = str(tmp_path / "core2.npz")
+    serve_main(["--exe", exe, "--observe", obs, "--save_core", core2,
+                "--outdir", str(tmp_path)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["observed"] == n_new and rec["save_core"] == core2
+
+    serve_main(["--exe", exe, "--core", core2, "--requests", "1:0,3:2",
+                "--var", "--outdir", str(tmp_path / "pc")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["entry"] == "predict_core"
+
+    ref_state = observe(res.model, state, y_ho[:n_new], d_ho[:n_new],
+                        q_ho[:n_new])
+    d = jnp.asarray([1, 3], jnp.int32)
+    q = jnp.asarray([0, 2], jnp.int32)
+    y_ref, v_ref = predict_images(res.model, ref_state, d, q, return_var=True)
+    with np.load(tmp_path / "pc" / "served.npz") as f:
+        np.testing.assert_allclose(f["images"], np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(rec["posterior_var"], np.asarray(v_ref),
+                               rtol=1e-4)
+
+    # guard rails: sampling from an updated core needs a re-export
+    with pytest.raises(SystemExit, match="re-export"):
+        serve_main(["--exe", exe, "--core", core2, "--requests", "1:0",
+                    "--sample", "2"])
+    with pytest.raises(SystemExit, match="save_core"):
+        serve_main(["--exe", exe, "--observe", obs])
+
+
 def test_sample_images_decode_chunked_matches_single_forward(trained):
     """Round-4 VERDICT Weak #3: a joint K-sample over an n-request batch
     used to decode n·K rows in ONE decoder forward — an OOM/latency cliff
