@@ -13,6 +13,7 @@ XLA do the rest). Validated without hardware on a virtual CPU mesh
 from gppvae_tpu.parallel.spmd_audit import (
     assert_wire_structure,
     audit_fused_wire,
+    audit_lowered,
     parse_collectives,
 )
 from gppvae_tpu.parallel.mesh import (
@@ -28,6 +29,7 @@ from gppvae_tpu.parallel.mesh import (
 __all__ = [
     "assert_wire_structure",
     "audit_fused_wire",
+    "audit_lowered",
     "parse_collectives",
     "make_mesh",
     "make_mesh_2d",

@@ -43,6 +43,7 @@ from typing import NamedTuple
 __all__ = [
     "Collective",
     "parse_collectives",
+    "audit_lowered",
     "audit_fused_wire",
     "assert_wire_structure",
 ]
@@ -120,6 +121,19 @@ def _args_bytes(lowered, index: int) -> int:
     return total
 
 
+def audit_lowered(lowered) -> dict:
+    """Tabulate the collectives of ANY lowered jax program (generic half of
+    audit_fused_wire — the serving/fold mesh paths use it with their own
+    budgets): {collectives, n_collectives, max_bytes, signature}."""
+    colls = parse_collectives(lowered.compile().as_text())
+    return {
+        "collectives": colls,
+        "n_collectives": len(colls),
+        "max_bytes": max((c.bytes for c in colls), default=0),
+        "signature": sorted((c.op, c.shape) for c in colls),
+    }
+
+
 def audit_fused_wire(dataset, config, mesh, n_epochs: int | None = None) -> dict:
     """Compile the fused GPPVAE training step over `mesh` and tabulate its
     collectives. Returns {collectives, n_collectives, max_bytes, budget,
@@ -128,7 +142,8 @@ def audit_fused_wire(dataset, config, mesh, n_epochs: int | None = None) -> dict
     from gppvae_tpu.train.train_gppvae import _lower_fused
 
     lowered = _lower_fused(dataset, config, mesh, n_epochs)
-    colls = parse_collectives(lowered.compile().as_text())
+    base = audit_lowered(lowered)
+    colls = base["collectives"]
 
     params_bytes = _args_bytes(lowered, 0)
     bs = config.batch_size
@@ -142,14 +157,10 @@ def audit_fused_wire(dataset, config, mesh, n_epochs: int | None = None) -> dict
         "r_term_bytes": r_term,
     }
     budget = 2 * max(budget_parts.values())
-    sig = sorted((c.op, c.shape) for c in colls)
     return {
-        "collectives": colls,
-        "n_collectives": len(colls),
-        "max_bytes": max((c.bytes for c in colls), default=0),
+        **base,
         "budget": budget,
         "budget_parts": budget_parts,
-        "signature": sig,
     }
 
 

@@ -507,6 +507,73 @@ def test_wire_audit_structure_holds_with_n_differential():
     assert audit["n_differential"][0] != audit["n_differential"][1]
 
 
+def test_wire_audit_serving_fold_and_dp_predict():
+    """Serving scale-out has the same wire discipline as training: the mesh
+    FOLD (build_server_state — row-sharded encode + Woodbury factorize) may
+    psum only R-sized reductions, and DP serving (predict_images over
+    row-sharded requests against a replicated R-sized state) must move
+    nothing image- or N-sized. Both proven by budget + differential via
+    audit_lowered (the generic half of the training audit)."""
+    from gppvae_tpu.data import build_rotated_digits
+    from gppvae_tpu.eval.serving import build_server_state, predict_images
+    from gppvae_tpu.models import VAE
+    from gppvae_tpu.parallel import audit_lowered
+
+    mesh = make_mesh(8)
+    sh = row_sharding(mesh)
+    model = VAE(zdim=8, image_shape=(32, 32, 1), enc_features=(8, 16),
+                dec_features=(16, 8))
+    ds = build_rotated_digits("synthetic", num_objects=8, num_views=8,
+                              image_size=32, seed=0)
+    vae_params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 32, 32, 1), jnp.float32),
+                            jax.random.PRNGKey(1))
+    X = jax.random.normal(jax.random.PRNGKey(2), (8, 4), jnp.float32)
+    W = jax.random.normal(jax.random.PRNGKey(3), (8, 3), jnp.float32)
+    params = {"vae": vae_params, "gp": {"X": X, "log_vs": jnp.float32(0.0),
+                                        "log_vn": jnp.float32(-1.0)}}
+    # R = 4·3 = 12 → the psum'd Gram+projection is ~1 KB; anything bigger
+    # than a few KB on the wire is structure leaking, not bookkeeping
+    budget = 4096
+
+    def fold_audit(n):
+        imgs = shard_rows(mesh, jnp.asarray(ds.images[ds.train_idx][:n]))
+        d = shard_rows(mesh, jnp.asarray(ds.object_ids[ds.train_idx][:n]))
+        q = shard_rows(mesh, jnp.asarray(ds.view_ids[ds.train_idx][:n]))
+        low = jax.jit(
+            lambda p, i, dd, qq: build_server_state(
+                model, p, W, i, dd, qq, encode_chunk=32,
+                batch_sharding=sh)
+        ).lower(params, imgs, d, q)
+        return audit_lowered(low)
+
+    a48, a32 = fold_audit(48), fold_audit(32)
+    assert a48["max_bytes"] <= budget, a48["collectives"]
+    assert a48["signature"] == a32["signature"], (a48["signature"],
+                                                  a32["signature"])
+    assert a48["n_collectives"] > 0  # the R-sized psums must exist
+
+    state = build_server_state(
+        model, params, W,
+        jnp.asarray(ds.images[ds.train_idx][:48]),
+        jnp.asarray(ds.object_ids[ds.train_idx][:48]),
+        jnp.asarray(ds.view_ids[ds.train_idx][:48]),
+    )
+
+    def predict_audit(n):
+        d = shard_rows(mesh, jnp.zeros((n,), jnp.int32))
+        q = shard_rows(mesh, jnp.zeros((n,), jnp.int32))
+        low = jax.jit(
+            lambda s, dd, qq: predict_images(model, s, dd, qq,
+                                             batch_sharding=sh)
+        ).lower(state, d, q)
+        return audit_lowered(low)
+
+    p16, p24 = predict_audit(16), predict_audit(24)
+    assert p16["max_bytes"] <= budget, p16["collectives"]
+    assert p16["signature"] == p24["signature"]
+
+
 def test_wire_audit_catches_nsized_traffic(monkeypatch):
     """Negative control — the audit must FAIL on the program it was built to
     catch: global-offset encode chunking (pad+reshape of the row-sharded
