@@ -87,3 +87,34 @@ def test_serving_fold_and_throughput_on_tpu():
     y2, var1 = jax.device_get(served_v(state2, d, q))
     assert np.isfinite(y2).all()
     assert (var1 <= var0 + 1e-6).all() and (var1 < var0 - 1e-6).any()
+
+    # the exported-blob surface on the real chip (round-5): mean + joint
+    # sample entries answer identically to the live-model path — the tpu
+    # lowering inside the v2 artifact is executed, not just serialized
+    import tempfile
+
+    from gppvae_tpu.eval.serving import (
+        export_compiled_program,
+        load_compiled_program,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        exe = f"{td}/m.exe"
+        export_compiled_program(res.model, state, exe,
+                                entry_points=("mean", "sample_joint"))
+        exp, _ = load_compiled_program(exe)
+        np.testing.assert_allclose(
+            np.asarray(exp.call(d, q)), np.asarray(served(state, d, q)),
+            atol=1e-6,
+        )
+        exp_j, _ = load_compiled_program(exe, entry="sample_joint")
+        y_exe = np.asarray(exp_j.call(d[:2], q[:2], jnp.int32(5),
+                                      jnp.zeros((3,), jnp.int32)))
+        y_ref = np.asarray(sample_images(res.model, state, d[:2], q[:2],
+                                         jax.random.PRNGKey(5), 3, joint=True))
+        # bf16 model: the baked-constant program fuses/folds differently
+        # than the live one, flipping bf16 roundings in the draw math —
+        # bit-exactness of the blob is pinned on the f32 CPU tier
+        # (test_export_full_serving_surface); this asserts bf16-scale parity
+        np.testing.assert_allclose(y_exe, y_ref, atol=8e-3)
+        assert np.isfinite(y_exe).all()
