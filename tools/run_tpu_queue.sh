@@ -44,11 +44,11 @@ wait_for_tpu || exit 1
 # 1. certify the headline (VERDICT #1): bench.py has its own bounded-retry
 #    probe + per-config fault isolation; stdout IS the artifact JSON line
 step bench 4200 python bench.py
-grep -q '"metric"' "$OUT/bench.log" && cp "$OUT/bench.log" "$OUT/bench_r4.json"
+grep -q '"metric"' "$OUT/bench.log" && cp "$OUT/bench.log" "$OUT/bench_r5.json"
 
 # 2. fresh device trace vs the BASELINE.md contract row
 #    (15.28 ms/epoch, jit_fused program fingerprint)
-step trace 2400 python tools/trace_summary.py --out demo/trace_r4 \
+step trace 2400 python tools/trace_summary.py --out demo/trace_r5 \
   --dtype bfloat16 --upsample subpixel
 
 # 3. kernel A/Bs (queued ROADMAP re-drives)
