@@ -849,6 +849,11 @@ def _serve_exe(args) -> None:
         if ((np.asarray(d_new) < 0) | (np.asarray(d_new) >= P)
                 | (np.asarray(q_new) < 0) | (np.asarray(q_new) >= Q)).any():
             raise ValueError(f"observed cells outside the {P}×{Q} grid")
+        if tuple(imgs.shape[1:]) != tuple(meta0["image_shape"]):
+            raise ValueError(
+                f"observed images are {tuple(imgs.shape[1:])} but the "
+                f"artifact serves {tuple(meta0['image_shape'])}"
+            )
         t0 = time.perf_counter()
         core = exp_obs.call(core, imgs, d_new, q_new,
                             jnp.ones((imgs.shape[0],), jnp.float32))
