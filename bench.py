@@ -374,16 +374,19 @@ def main():
         r64 = train_gppvae(fds64, cfg64, log=NullLogger())
         curve = [float(h["oos_mse"]) for h in r64.history]
         final = curve[-1]
-        quarter = min(curve[: len(curve) // 4])
-        # PASS = converged (threshold from the CPU-calibrated trajectory,
-        # final ≲ half the threshold at 240 epochs) AND still improving on
-        # the early best (a diverged/saturated run fails both)
-        verdict = "PASS" if (final <= 0.01 and final < quarter) else "FAIL"
+        best = min(curve)
+        # PASS = converged below the threshold (chip-calibrated: 0.0045 at
+        # 240 epochs, ~2x headroom) AND the final value sits near the run's
+        # own best — a diverged/saturated run shoots far above its min,
+        # while noise-floor fluctuation stays within a few percent (1.5x
+        # band; a strict final<first-quarter-min check would flakily FAIL
+        # a healthy run that converges early — round-5 review)
+        verdict = "PASS" if (final <= 0.01 and final <= 1.5 * best) else "FAIL"
         return {
             **_sec_stats(r64.history, 40),
             "epochs": cfg64.epochs,
             "oos_mse_final": round(final, 5),
-            "oos_mse_best_first_quarter": round(quarter, 5),
+            "oos_mse_best": round(best, 5),
             "threshold": 0.01,
             "verdict": verdict,
             "config": "faces-64² bf16+subpixel joint, convergence leg",

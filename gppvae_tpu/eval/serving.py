@@ -595,6 +595,46 @@ def x_map_from_meta(meta: dict, in_dim: int):
     )
 
 
+def _load_observation_npz(path: str, P: int, Q: int, image_shape, err=ValueError):
+    """Load + validate an observation npz (images + objects/views, with
+    GridDataset's object_ids/view_ids key aliases). ONE loader for all
+    three observe surfaces (--state CLI, --stdin loop, --exe blobs) —
+    their hand-rolled copies had already diverged on which checks they ran
+    (round-5 review: the --exe copy skipped the n-agreement check, so a
+    ragged npz died deep inside jax.export's symbolic-dim solver instead
+    of here). `err` picks the error type: SystemExit at CLI entry points,
+    ValueError where callers catch-and-report (the stdin loop)."""
+    import numpy as np
+
+    with np.load(path, allow_pickle=False) as f:
+        keys = set(f.files)
+        try:
+            imgs = np.asarray(f["images"], np.float32)
+            d = np.asarray(
+                f["objects" if "objects" in keys else "object_ids"], np.int32)
+            q = np.asarray(
+                f["views" if "views" in keys else "view_ids"], np.int32)
+        except KeyError as e:
+            raise err(
+                f"observation npz {path!r} lacks {e}; want images + "
+                "objects/views (or object_ids/view_ids)"
+            )
+    if tuple(imgs.shape[1:]) != tuple(image_shape):
+        raise err(
+            f"observed images are {tuple(imgs.shape[1:])} but the model "
+            f"serves {tuple(image_shape)}"
+        )
+    if not (imgs.shape[0] == d.shape[0] == q.shape[0]):
+        raise err("observation npz arrays disagree on n")
+    if ((d < 0) | (d >= P) | (q < 0) | (q >= Q)).any():
+        raise err(
+            f"observed cells outside the {P}×{Q} grid — conditioning can "
+            "only absorb observations of known objects/views (new ones "
+            "need a training run)"
+        )
+    return imgs, d, q
+
+
 def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
                       args, lines=None, meta: dict | None = None) -> None:
     """Persistent ONLINE serving loop (serve --stdin): one command per input
@@ -649,22 +689,7 @@ def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
 
     def _observe_line(k: int, path: str) -> None:
         nonlocal state
-        with np.load(path, allow_pickle=False) as f:
-            keys = set(f.files)
-            imgs = np.asarray(f["images"], np.float32)
-            dd = np.asarray(
-                f["objects" if "objects" in keys else "object_ids"], np.int32)
-            qq = np.asarray(
-                f["views" if "views" in keys else "view_ids"], np.int32)
-        if tuple(imgs.shape[1:]) != tuple(model.image_shape):
-            raise ValueError(
-                f"observed images are {tuple(imgs.shape[1:])} but the model "
-                f"serves {tuple(model.image_shape)}"
-            )
-        if not (imgs.shape[0] == dd.shape[0] == qq.shape[0]):
-            raise ValueError("observe npz arrays disagree on n")
-        if ((dd < 0) | (dd >= P) | (qq < 0) | (qq >= Q)).any():
-            raise ValueError(f"observed cells outside the {P}×{Q} grid")
+        imgs, dd, qq = _load_observation_npz(path, P, Q, model.image_shape)
         n = imgs.shape[0]
         t0 = time.perf_counter()
         for s0 in range(0, n, B):
@@ -828,34 +853,21 @@ def _serve_exe(args) -> None:
     from gppvae_tpu.eval.panels import save_panel
 
     core = None
-    if args.observe or args.core:
-        # stateful flow from the blobs alone: fold observations with the
-        # `observe` entry, answer with `predict_core` — the updated core is
+    if args.core:
+        # stateful flow from the blobs alone: the (observe-updated) core is
         # the only state, persisted as a plain npz (no package pytrees)
-        core, meta0 = load_compiled_program(args.exe, entry="core")
-        if args.core:
-            with np.load(args.core) as f:
-                core = type(core)(**{k: jnp.asarray(f[k]) for k in f.files})
+        with np.load(args.core) as f:
+            core = gp.PosteriorCore(**{k: jnp.asarray(f[k]) for k in f.files})
+    elif args.observe:
+        core, _ = load_compiled_program(args.exe, entry="core")
     if args.observe:
         exp_obs, meta0 = load_compiled_program(args.exe, entry="observe")
         P, Q = meta0["grid"]
-        with np.load(args.observe, allow_pickle=False) as f:
-            keys = set(f.files)
-            imgs = jnp.asarray(f["images"], jnp.float32)
-            d_new = jnp.asarray(
-                f["objects" if "objects" in keys else "object_ids"], jnp.int32)
-            q_new = jnp.asarray(
-                f["views" if "views" in keys else "view_ids"], jnp.int32)
-        if ((np.asarray(d_new) < 0) | (np.asarray(d_new) >= P)
-                | (np.asarray(q_new) < 0) | (np.asarray(q_new) >= Q)).any():
-            raise ValueError(f"observed cells outside the {P}×{Q} grid")
-        if tuple(imgs.shape[1:]) != tuple(meta0["image_shape"]):
-            raise ValueError(
-                f"observed images are {tuple(imgs.shape[1:])} but the "
-                f"artifact serves {tuple(meta0['image_shape'])}"
-            )
+        imgs, d_new, q_new = _load_observation_npz(
+            args.observe, P, Q, meta0["image_shape"], err=SystemExit)
         t0 = time.perf_counter()
-        core = exp_obs.call(core, imgs, d_new, q_new,
+        core = exp_obs.call(core, jnp.asarray(imgs), jnp.asarray(d_new),
+                            jnp.asarray(q_new),
                             jnp.ones((imgs.shape[0],), jnp.float32))
         jax.block_until_ready(core.M)
         fold_s = round(time.perf_counter() - t0, 4)
@@ -1049,11 +1061,16 @@ def main(argv=None):
                 "updated core answers means/variances via predict_core — "
                 "re-export after folding (--state path) to sample from it"
             )
-        if (args.repeat or args.sustained) and (
-                args.sample or args.observe or args.core):
+        if args.sample and args.var:
             raise SystemExit(
-                "serve: --repeat/--sustained (throughput modes) measure the"
-                " baked posterior-mean path; drop the other flags"
+                "serve: --sample decodes posterior draws; --var reports the "
+                "diagonal of the same posterior — pass one of them"
+            )
+        if (args.repeat or args.sustained) and (
+                args.sample or args.var or args.observe or args.core):
+            raise SystemExit(
+                "serve: --repeat/--sustained (throughput modes) time the"
+                " baked posterior-mean program; drop the other flags"
             )
         _serve_exe(args)
         return
@@ -1102,38 +1119,12 @@ def main(argv=None):
         if args.stdin or args.sample:
             raise SystemExit("serve: --observe folds then optionally answers "
                              "--requests; --stdin/--sample are separate runs")
-        with np.load(args.observe, allow_pickle=False) as f:
-            keys = set(f.files)
-            try:
-                imgs = jnp.asarray(f["images"], jnp.float32)
-                d_new = jnp.asarray(
-                    f["objects" if "objects" in keys else "object_ids"],
-                    jnp.int32)
-                q_new = jnp.asarray(
-                    f["views" if "views" in keys else "view_ids"], jnp.int32)
-            except KeyError as e:
-                raise SystemExit(
-                    f"serve: --observe npz lacks {e}; want images + "
-                    "objects/views (or object_ids/view_ids)"
-                )
         P, Q = int(state.X.shape[0]), int(state.W.shape[0])
-        if tuple(imgs.shape[1:]) != tuple(meta["image_shape"]):
-            raise SystemExit(
-                f"serve: observed images are {tuple(imgs.shape[1:])} but the "
-                f"model was trained on {tuple(meta['image_shape'])}"
-            )
-        if not (imgs.shape[0] == d_new.shape[0] == q_new.shape[0]):
-            raise SystemExit("serve: --observe arrays disagree on n")
-        if (np.asarray(d_new) < 0).any() or (np.asarray(d_new) >= P).any() \
-                or (np.asarray(q_new) < 0).any() \
-                or (np.asarray(q_new) >= Q).any():
-            raise SystemExit(
-                f"serve: observed cells outside the trained {P}×{Q} grid — "
-                "conditioning can only absorb observations of known "
-                "objects/views (new ones need a training run)"
-            )
+        imgs, d_new, q_new = _load_observation_npz(
+            args.observe, P, Q, meta["image_shape"], err=SystemExit)
         t0 = time.perf_counter()
-        state = observe(model, state, imgs, d_new, q_new, x_map=x_map,
+        state = observe(model, state, jnp.asarray(imgs), jnp.asarray(d_new),
+                        jnp.asarray(q_new), x_map=x_map,
                         extra_effects=extra)
         jax.block_until_ready(state.core.M)
         fold_s = round(time.perf_counter() - t0, 4)
@@ -1177,6 +1168,11 @@ def main(argv=None):
 
     if args.joint and not args.sample:
         raise SystemExit("serve: --joint modifies --sample; pass --sample K")
+    if args.sample and args.var:
+        raise SystemExit(
+            "serve: --sample decodes posterior draws; --var reports the "
+            "diagonal of the same posterior — pass one of them"
+        )
     t0 = time.perf_counter()
     out = {"n_requests": len(pairs), "state": args.state}
     if args.sample:

@@ -95,8 +95,10 @@ def parse_collectives(hlo_text: str) -> list[Collective]:
     program STRUCTURE, not per-epoch totals)."""
     out = []
     for line in hlo_text.splitlines():
-        if "-done" in line:
-            continue
+        # async `-done` ops never match (_COLL_RE requires `(` or `-start(`
+        # right after the op name); do NOT skip lines by substring — a real
+        # collective whose OPERAND is a `%…-done.N` value would be dropped,
+        # a false-pass hole (round-5 review)
         m = _COLL_RE.search(line)
         if not m:
             continue
@@ -194,12 +196,20 @@ def assert_wire_structure(dataset, config, mesh, *, dataset_2=None,
             )
         audit2 = audit_fused_wire(dataset_2, config, mesh, n_epochs)
         if audit["signature"] != audit2["signature"]:
-            s1, s2 = set(audit["signature"]), set(audit2["signature"])
+            from collections import Counter
+
+            c1 = Counter(audit["signature"])
+            c2 = Counter(audit2["signature"])
+            # Counter subtraction keeps multiplicity, so a count-only change
+            # (same op+shape, different number of occurrences) still prints
+            # an actionable diff (round-5 review)
             raise AssertionError(
                 "SPMD wire audit: collective signatures CHANGE with the "
                 "dataset size — N-sized operands are crossing the mesh.\n"
-                f"  only at N={len(dataset.train_idx)}: {sorted(s1 - s2)}\n"
-                f"  only at N={len(dataset_2.train_idx)}: {sorted(s2 - s1)}"
+                f"  extra at N={len(dataset.train_idx)}: "
+                f"{sorted((c1 - c2).elements())}\n"
+                f"  extra at N={len(dataset_2.train_idx)}: "
+                f"{sorted((c2 - c1).elements())}"
             )
         audit["n_differential"] = [
             int(len(dataset.train_idx)), int(len(dataset_2.train_idx))

@@ -451,18 +451,22 @@ _HLO_SAMPLE = """\
   %ag.s = bf16[64,128]{1,0} all-gather-start(%y), dimensions={0}
   %ag.d = bf16[64,128]{1,0} all-gather-done(%ag.s)
   %cp = u8[2,2]{1,0} collective-permute(%z), source_target_pairs={{0,1}}
+  %ar2 = f32[4]{0} all-reduce(f32[4]{0} %all-gather-done.5), op_name="chained"
   %noise = f32[999,999]{1,0} add(%p, %q)
 """
 
 
 def test_parse_collectives_units():
-    """HLO parser: tuple shapes sum, -done lines skipped, layouts stripped,
-    dtype byte widths honored, op_name attribution captured."""
+    """HLO parser: tuple shapes sum, async -done OPS excluded (but a real
+    collective whose OPERAND is a %…-done value must NOT be dropped — the
+    substring skip was a false-pass hole, round-5 review), layouts
+    stripped, dtype byte widths honored, op_name attribution captured."""
     from gppvae_tpu.parallel import parse_collectives
 
     colls = parse_collectives(_HLO_SAMPLE)
     by_op = {(c.op, c.shape): c for c in colls}
-    assert len(colls) == 4  # the -done line and the add are not collectives
+    assert len(colls) == 5  # the -done OP and the add are not collectives
+    assert by_op[("all-reduce", "f32[4]")].op_name == "chained"
     assert by_op[("all-reduce", "f32[12,12]")].bytes == 12 * 12 * 4
     assert by_op[("all-reduce", "f32[12,12]")].op_name == "a"
     tup = by_op[("all-reduce", "f32[8,4],s32[16]")]
