@@ -998,6 +998,32 @@ def test_serve_exe_stateful_cli(tmp_path, capsys, trained):
     with pytest.raises(SystemExit, match="save_core"):
         serve_main(["--exe", exe, "--observe", obs])
 
+    # round-5 review gates: malformed observations die at the CLI boundary
+    # with the SAME clean errors as the --state path (the shared
+    # _load_observation_npz loader), not deep inside jax.export's
+    # symbolic-dim solver; contradictory flags are errors, not silent drops
+    ragged = str(tmp_path / "obs_ragged.npz")
+    np.savez(ragged, images=np.asarray(y_ho[:n_new]),
+             objects=np.asarray(d_ho[:n_new - 1]),
+             views=np.asarray(q_ho[:n_new]))
+    with pytest.raises(SystemExit, match="disagree on n"):
+        serve_main(["--exe", exe, "--observe", ragged,
+                    "--save_core", str(tmp_path / "x.npz")])
+    bad = str(tmp_path / "obs_badgrid.npz")
+    d_bad = np.asarray(d_ho[:n_new]).copy()
+    d_bad[0] = int(state.X.shape[0])  # first object id past the grid
+    np.savez(bad, images=np.asarray(y_ho[:n_new]), objects=d_bad,
+             views=np.asarray(q_ho[:n_new]))
+    with pytest.raises(SystemExit, match="grid"):
+        serve_main(["--exe", exe, "--observe", bad,
+                    "--save_core", str(tmp_path / "x.npz")])
+    for extra in (["--sample", "2", "--var"],          # draw XOR diagonal
+                  ["--var", "--sustained", "2"],        # gate covers --var
+                  ["--var", "--repeat", "2"]):
+        with pytest.raises(SystemExit,
+                           match="pass one of them|posterior-mean"):
+            serve_main(["--exe", exe, "--requests", "1:0", *extra])
+
 
 def test_sample_images_decode_chunked_matches_single_forward(trained):
     """Round-4 VERDICT Weak #3: a joint K-sample over an n-request batch
