@@ -94,3 +94,106 @@ def test_shape_explore_tiny_variants(tmp_path, capsys, monkeypatch):
     # channel tiling must scale the analytic FLOPs up
     assert (rec["digits32c8"]["flops_per_epoch"]
             > rec["digits32"]["flops_per_epoch"])
+
+
+def _art(value=0.016, sha="aaaa", sustained=50000, s_sha="bbbb",
+         s_batch=200, dtype="float32", verdict="PASS", sec=0.047):
+    """Minimal bench artifact for bench_diff tests."""
+    return {
+        "metric": "rotated_mnist_gppvae_joint_sec_per_epoch",
+        "value": value, "unit": "s/epoch", "vs_baseline": None,
+        "extra": {
+            "program_sha1": sha,
+            "configs": {
+                "face_view_128": {
+                    "sec_epoch": sec, "sec_epoch_min": sec,
+                    "serving_sustained_b200_images_per_sec": sustained,
+                    "serving_batch": s_batch,
+                    "serving_program_sha1": s_sha, "model_dtype": dtype,
+                },
+                "face_accuracy_64": {"verdict": verdict},
+                "kernels": {"win_ok": True,
+                            "dispatch_declines_at_r56": True},
+            },
+        },
+    }
+
+
+def test_bench_diff_same_program_regression_and_drift_band():
+    """bench_diff applies the repo's arbitration discipline: same
+    program_sha1 + wall beyond the band = regression; inside the band =
+    relay drift (ok); sha change = non-comparable, never a regression."""
+    from bench_diff import diff
+
+    base = _art()
+    # inside the drift band: ok
+    s = diff(base, _art(value=0.017))
+    assert s["ok"] and not s["regressions"]
+    # beyond the band, same sha: REGRESSION
+    s = diff(base, _art(value=0.022))
+    assert not s["ok"] and "program_sha1" in s["regressions"][0]
+    # beyond the band, different sha: program changed -> non-comparable
+    s = diff(base, _art(value=0.022, sha="cccc"))
+    assert s["ok"] and s["non_comparable"]
+    assert "trace" in s["non_comparable"][0]
+
+
+def test_bench_diff_serving_identity_gates_comparison():
+    """Serving rows compare only at equal (sha, dtype, batch) — the
+    ADVICE round-4 #3 protocol rule, mechanised."""
+    from bench_diff import diff
+
+    base = _art()
+    # slower at IDENTICAL serving identity: regression
+    s = diff(base, _art(sustained=30000))
+    assert not s["ok"] and "serving sustained" in s["regressions"][0]
+    # slower but at a different batch: non-comparable, not a regression
+    s = diff(base, _art(sustained=30000, s_batch=50))
+    assert s["ok"]
+    assert any("NOT comparable" in m for m in s["non_comparable"])
+    # different precision likewise
+    s = diff(base, _art(sustained=30000, dtype="bfloat16"))
+    assert s["ok"] and any("NOT comparable" in m
+                           for m in s["non_comparable"])
+
+
+def test_bench_diff_verdict_flips_are_regressions():
+    from bench_diff import diff
+
+    base = _art()
+    s = diff(base, _art(verdict="FAIL"))
+    assert not s["ok"] and "PASS -> FAIL" in s["regressions"][0]
+    new = _art()
+    new["extra"]["configs"]["kernels"]["win_ok"] = False
+    s = diff(base, new)
+    assert not s["ok"] and any("win_ok" in m for m in s["regressions"])
+
+
+def test_bench_diff_loads_wrapper_logs_and_cli(tmp_path, capsys):
+    """load_artifact accepts the raw artifact, the driver wrapper (parsed
+    or tail), and a log whose last JSON line is the artifact; the CLI
+    exits 0/1 by verdict."""
+    import json as _json
+
+    from bench_diff import load_artifact, main
+
+    art = _art()
+    raw = tmp_path / "raw.json"
+    raw.write_text(_json.dumps(art))
+    wrapped = tmp_path / "wrap.json"
+    wrapped.write_text(_json.dumps(
+        {"cmd": "python bench.py", "rc": 0, "parsed": [art], "n": 1}))
+    tail = tmp_path / "tail.json"
+    tail.write_text(_json.dumps(
+        {"cmd": "python bench.py", "rc": 0, "parsed": None,
+         "tail": "noise\n" + _json.dumps(art) + "\n"}))
+    log = tmp_path / "run.log"
+    log.write_text("INFO starting\n" + _json.dumps(art) + "\n")
+    for p in (raw, wrapped, tail, log):
+        assert load_artifact(str(p))["value"] == art["value"]
+    assert main([str(raw), str(wrapped)]) == 0
+    slow = tmp_path / "slow.json"
+    slow.write_text(_json.dumps(_art(value=0.022)))
+    assert main([str(raw), str(slow)]) == 1
+    out = capsys.readouterr().out
+    assert "REGRESSION" in out
