@@ -635,6 +635,30 @@ def _load_observation_npz(path: str, P: int, Q: int, image_shape, err=ValueError
     return imgs, d, q
 
 
+def _parse_requests(s: str, P: int, Q: int, err=ValueError) -> list[tuple[int, int]]:
+    """Parse + grid-validate a 'd:q,d:q,…' request string. ONE parser for
+    all three request surfaces (--state, --exe, --stdin) — the hand-rolled
+    copies let a malformed token ('3', '3:2:5', 'a:b') die as a raw
+    tuple-unpack/int traceback at two CLI entry points instead of a clean
+    message. `err` picks the error type: SystemExit at CLI entry points,
+    ValueError where callers catch-and-report (the stdin loop)."""
+    pairs = []
+    for tok in s.split(","):
+        parts = tok.split(":")
+        try:
+            if len(parts) != 2:
+                raise ValueError(tok)
+            d0, q0 = int(parts[0]), int(parts[1])
+        except ValueError:
+            raise err(
+                f"bad request {tok.strip()!r}: want object:view, e.g. 3:2"
+            ) from None
+        if not (0 <= d0 < P and 0 <= q0 < Q):
+            raise err(f"request {d0}:{q0} outside the {P}×{Q} grid")
+        pairs.append((d0, q0))
+    return pairs
+
+
 def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
                       args, lines=None, meta: dict | None = None) -> None:
     """Persistent ONLINE serving loop (serve --stdin): one command per input
@@ -727,13 +751,7 @@ def _serve_stdin_loop(model, state: ServerState, x_map, extra: tuple,
                 print(json.dumps({"line": k, "error": str(e)}), flush=True)
             continue
         try:
-            pairs = [tuple(int(x) for x in r.split(":"))
-                     for r in line.split(",")]
-            for d0, q0 in pairs:
-                if not (0 <= d0 < P and 0 <= q0 < Q):
-                    raise ValueError(
-                        f"request {d0}:{q0} outside the {P}×{Q} grid"
-                    )
+            pairs = _parse_requests(line, P, Q)
         except ValueError as e:
             print(json.dumps({"line": k, "error": str(e)}), flush=True)
             continue
@@ -887,10 +905,7 @@ def _serve_exe(args) -> None:
         entry = "var"
     exp, meta = load_compiled_program(args.exe, entry=entry)
     P, Q = meta["grid"]
-    pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]
-    for d0, q0 in pairs:
-        if not (0 <= d0 < P and 0 <= q0 < Q):
-            raise ValueError(f"request {d0}:{q0} outside the {P}×{Q} grid")
+    pairs = _parse_requests(args.requests, P, Q, err=SystemExit)
     d = jnp.asarray([r[0] for r in pairs], jnp.int32)
     q = jnp.asarray([r[1] for r in pairs], jnp.int32)
     out = {"n_requests": len(pairs), "exe": args.exe, "entry": entry}
@@ -1158,11 +1173,8 @@ def main(argv=None):
                           meta=meta)
         return
 
-    pairs = [tuple(int(x) for x in r.split(":")) for r in args.requests.split(",")]
-    P, Q = state.X.shape[0], state.W.shape[0]
-    for d0, q0 in pairs:
-        if not (0 <= d0 < P and 0 <= q0 < Q):
-            raise ValueError(f"request {d0}:{q0} outside the {P}×{Q} grid")
+    P, Q = int(state.X.shape[0]), int(state.W.shape[0])
+    pairs = _parse_requests(args.requests, P, Q, err=SystemExit)
     d = jnp.asarray([r[0] for r in pairs], jnp.int32)
     q = jnp.asarray([r[1] for r in pairs], jnp.int32)
 

@@ -721,10 +721,15 @@ def test_serve_cli_end_to_end(tmp_path, capsys):
     assert rec["sustained_chain"] == 3
     assert rec["sustained_images_per_sec"] > 0
 
-    # out-of-grid requests fail loudly
-    with pytest.raises(ValueError, match="outside"):
+    # out-of-grid and malformed requests die at the CLI boundary with the
+    # shared parser's clean SystemExit, not a tuple-unpack traceback
+    with pytest.raises(SystemExit, match="outside"):
         serve_main(["--state", srv, "--requests", "99:0",
                     "--outdir", str(tmp_path / "servedX")])
+    for bad in ("3", "3:2:5", "a:b"):
+        with pytest.raises(SystemExit, match="want object:view"):
+            serve_main(["--state", srv, "--requests", bad,
+                        "--outdir", str(tmp_path / "servedX")])
 
     # unsupported flag combinations are rejected, never silently dropped
     # (round-4 review: --stdin answered means when --sample asked for
@@ -797,9 +802,12 @@ def test_export_compiled_program_roundtrip(tmp_path, capsys, trained):
     assert rec["sustained_images_per_sec"] > 0
     assert (tmp_path / "served_exe" / "served.npz").exists()
 
-    # out-of-grid + unsupported combos fail loudly
-    with pytest.raises(ValueError, match="outside"):
+    # out-of-grid / malformed requests + unsupported combos fail loudly
+    with pytest.raises(SystemExit, match="outside"):
         serve_main(["--exe", exe, "--requests", "999:0",
+                    "--outdir", str(tmp_path / "x")])
+    with pytest.raises(SystemExit, match="want object:view"):
+        serve_main(["--exe", exe, "--requests", "1:0:7",
                     "--outdir", str(tmp_path / "x")])
     with pytest.raises(SystemExit, match="joint"):
         serve_main(["--exe", exe, "--requests", "1:0", "--joint"])
