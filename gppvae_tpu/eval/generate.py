@@ -194,11 +194,17 @@ def sample_prior(
     rff_lengthscale: float = 1.0,
     extra_effects: tuple = (),
     seed: int = 0,
+    draw_seed: int | None = None,
     dec_upsample: str = "resize",
     compute_dtype: str = "float32",
 ) -> np.ndarray:
     """Unconditional generation from the learned GP prior: draw latent rows
-    z = U ε_r + √v_n ε_n for randomly chosen (object, view) cells, decode."""
+    z = U ε_r + √v_n ε_n for randomly chosen (object, view) cells, decode.
+
+    draw_seed: RNG seed for the draws alone. `seed` also fixes the RFF
+    feature map (it must match training for rbf kernels), so re-rolling it
+    to get fresh samples would silently change the KERNEL; draw_seed varies
+    only the randomness (default None = use `seed`, the legacy behavior)."""
     params = state["params"]
     fixed_W = state.get("fixed_W")
     model, x_map = _model_and_xmap(
@@ -207,7 +213,7 @@ def sample_prior(
         rff_features=rff_features, rff_lengthscale=rff_lengthscale, seed=seed,
         dec_upsample=dec_upsample, compute_dtype=compute_dtype,
     )
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(seed if draw_seed is None else draw_seed)
     kd, kq, kr, kn = jax.random.split(key, 4)
     d = jax.random.randint(kd, (num_samples,), 0, dataset.num_objects)
     q = jax.random.randint(kq, (num_samples,), 0, dataset.num_views)
@@ -282,6 +288,7 @@ def sample_posterior(
     num_samples: int,
     *,
     seed: int = 0,
+    draw_seed: int | None = None,
     **arch,
 ) -> tuple[np.ndarray, float]:
     """Posterior SAMPLING for one (object, view) cell: decode K draws
@@ -312,7 +319,8 @@ def sample_posterior(
             V_star, factors, Z0, v_sigs, return_var=True
         )
         eps = jax.random.normal(
-            jax.random.PRNGKey(seed), (num_samples, mean.shape[1])
+            jax.random.PRNGKey(seed if draw_seed is None else draw_seed),
+            (num_samples, mean.shape[1]),
         )
         z = mean + jnp.sqrt(jnp.maximum(var[:, None], 0.0)) * eps
         logits = model.apply(params["vae"], z, method=VAE.decode)
@@ -329,6 +337,7 @@ def sample_posterior_sweep(
     num_samples: int,
     *,
     seed: int = 0,
+    draw_seed: int | None = None,
     jitter: float = 1e-6,
     **arch,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -363,7 +372,8 @@ def sample_posterior_sweep(
         L = mean.shape[1]
         Lc = stable_cholesky(cov, jitter)
         eps = jax.random.normal(
-            jax.random.PRNGKey(seed), (Q, num_samples, L), mean.dtype
+            jax.random.PRNGKey(seed if draw_seed is None else draw_seed),
+            (Q, num_samples, L), mean.dtype,
         )
         z = mean[:, None, :] + jnp.einsum("ij,jkl->ikl", Lc, eps)
         y = decode_images(model, params["vae"], z.reshape(Q * num_samples, L))
@@ -400,6 +410,13 @@ def main(argv=None):
                         "calibrated σ*, rendered as image diversity)")
     p.add_argument("--view", type=int, default=0,
                    help="view id for --posterior_sample (default 0)")
+    p.add_argument("--draw_seed", type=int, default=None,
+                   help="RNG seed for --sample/--posterior_sample draws "
+                        "only (default: the run's training seed). The "
+                        "training seed also fixes the RFF feature map, so "
+                        "this is the ONLY safe way to get fresh draws — "
+                        "overriding --seed would silently change the "
+                        "kernel on rbf runs")
     p.add_argument("--joint", action="store_true",
                    help="with --posterior_sample --object: draw the K "
                         "samples JOINTLY over the object's FULL view sweep "
@@ -493,7 +510,8 @@ def main(argv=None):
             raise SystemExit("--posterior_sample needs --object (and --view)")
         if args.joint:
             y_s, var = sample_posterior_sweep(
-                state, ds, args.object, args.posterior_sample, **arch
+                state, ds, args.object, args.posterior_sample,
+                draw_seed=args.draw_seed, **arch
             )
             truth = ds.images[
                 (ds.object_ids == args.object).nonzero()[0]
@@ -511,7 +529,8 @@ def main(argv=None):
             }))
             return
         y_s, var = sample_posterior(
-            state, ds, args.object, args.view, args.posterior_sample, **arch
+            state, ds, args.object, args.view, args.posterior_sample,
+            draw_seed=args.draw_seed, **arch
         )
         cell = np.where(
             (ds.object_ids == args.object) & (ds.view_ids == args.view)
@@ -540,7 +559,8 @@ def main(argv=None):
         print(json.dumps({"views_panel": path, "object": args.object}))
         return
     if args.sample:
-        y_s = sample_prior(state, ds, args.sample, **arch)
+        y_s = sample_prior(state, ds, args.sample, draw_seed=args.draw_seed,
+                           **arch)
         path = os.path.join(outdir, "prior_samples.png")
         save_panel(path, [y_s])
         print(json.dumps({"samples_panel": path, "n": int(args.sample)}))

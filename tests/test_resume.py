@@ -222,6 +222,25 @@ def test_generate_cli_views_and_samples(tmp_path, capsys):
     w, h = Image.open(sweep).size
     assert w >= 8 * 32 and h >= 4 * 32, (w, h)  # truth + 3 draws × 8 views
 
+    # --draw_seed varies ONLY the draws (the feature-map seed — which must
+    # match training on rbf kernels — stays put): a new draw_seed changes
+    # the samples, the same one reproduces them, and the default equals
+    # the legacy seed-tied behavior
+    # this CLI writes panels (not npz) — compare the panel pixel bytes
+    def _panel_bytes(extra):
+        main([*common, "--posterior_sample", "4", "--object", "3",
+              "--view", "2", *extra])
+        capsys.readouterr()
+        return (tmp_path / "run" / "posterior_obj3_view2.png").read_bytes()
+
+    default = _panel_bytes([])
+    legacy = _panel_bytes(["--draw_seed", "0"])  # training seed is 0
+    fresh = _panel_bytes(["--draw_seed", "123"])
+    fresh2 = _panel_bytes(["--draw_seed", "123"])
+    assert default == legacy, "draw_seed default must equal the legacy draws"
+    assert fresh == fresh2, "equal draw_seed must reproduce"
+    assert fresh != default, "a new draw_seed must change the draws"
+
     # --joint without --posterior_sample is an error, not a silent no-op
     import pytest
 
