@@ -45,6 +45,10 @@ wait_for_tpu || exit 1
 #    probe + per-config fault isolation; stdout IS the artifact JSON line
 step bench 4200 python bench.py
 grep -q '"metric"' "$OUT/bench.log" && cp "$OUT/bench.log" "$OUT/bench_r5.json"
+# protocol-aware no-regress arbitration vs the committed round-5 artifact
+# (same program_sha1 + slower beyond the drift band = real regression)
+[ -f "$OUT/bench_r5.json" ] && step bench_diff 120 \
+  python tools/bench_diff.py demo/bench_r5_builder.json "$OUT/bench_r5.json"
 
 # 2. fresh device trace vs the BASELINE.md contract row
 #    (15.28 ms/epoch, jit_fused program fingerprint)
