@@ -372,6 +372,16 @@ _EXE_ENTRIES = {
                 "sig": "call(core{M,G,Lb,v_noise}, images:f32[b,H,W,C], "
                        "d, q, mask:f32[b]) -> core'  (streaming "
                        "conditioning; mask 0-rows are ignored)"},
+    "sample_core": {"suffix": ".sample_core",
+                    "sig": "call(core{M,G,Lb,v_noise}, d, q, seed:i32[], "
+                           "k_dummy:i32[k]) -> y[b,k,H,W,C]  (independent "
+                           "per-row draws from an observe-updated core)"},
+    "sample_joint_core": {"suffix": ".joint_core",
+                          "sig": "call(core{M,G,Lb,v_noise}, d, q, "
+                                 "seed:i32[], k_dummy:i32[k]) -> "
+                                 "y[b,k,H,W,C]  (coherent scenes from the "
+                                 "updated core's full b×b posterior "
+                                 "covariance)"},
     "predict_core": {"suffix": ".predict",
                      "sig": "call(core{M,G,Lb,v_noise}, d, q) -> "
                             "(y[b,H,W,C], var:f32[b])  (serve from an "
@@ -414,10 +424,11 @@ def export_compiled_program(
 
     Entry points (see _EXE_ENTRIES): posterior means, means+variance,
     K-sample (independent and joint — seed as an argument, K symbolic),
-    and the STATEFUL pair `observe`/`predict_core` which take the R-sized
-    posterior core as an explicit pytree argument, so a deployment can
-    stream new observations (core' = observe(core, images, d, q, mask))
-    and serve from the sharpened posterior — without this package. The
+    and the STATEFUL quartet `observe`/`predict_core`/`sample_core`/
+    `sample_joint_core` which take the R-sized posterior core as an
+    explicit pytree argument, so a deployment can stream new observations
+    (core' = observe(core, images, d, q, mask)) and serve the sharpened
+    posterior's means, variances AND draws — without this package. The
     initial core rides in `<path>.core.npz`.
 
     Writes `<path>` (+ suffixed blobs per entry) and `<path>.meta.json`
@@ -472,6 +483,19 @@ def export_compiled_program(
                               x_map=x_map, extra_effects=extra_effects,
                               return_var=True)
 
+    def _sample_core_fn(joint):
+        # the stateful counterpart of _sample_fn: without it, a deployment
+        # that streamed observations via `observe` could get means/vars
+        # from the sharpened posterior (predict_core) but NOT draws — the
+        # uncertainty surface went stale the moment the core moved
+        def fn(core, d, q, seed, k_dummy):
+            return sample_images(
+                model, state._replace(core=core), d, q,
+                jax.random.PRNGKey(seed), k_dummy.shape[0], x_map=x_map,
+                extra_effects=extra_effects, joint=joint, decode_chunk=None,
+            )
+        return fn
+
     builders = {
         "mean": (
             lambda d, q: predict_images(model, state, d, q, x_map=x_map,
@@ -488,6 +512,10 @@ def export_compiled_program(
         "sample_joint": (_sample_fn(joint=True), (i_b, i_b, i_scalar, i_k)),
         "observe": (_observe_fn, (core_specs, f_img, i_b, i_b, f_b)),
         "predict_core": (_predict_core_fn, (core_specs, i_b, i_b)),
+        "sample_core": (_sample_core_fn(joint=False),
+                        (core_specs, i_b, i_b, i_scalar, i_k)),
+        "sample_joint_core": (_sample_core_fn(joint=True),
+                              (core_specs, i_b, i_b, i_scalar, i_k)),
     }
 
     apath = os.path.abspath(os.path.expanduser(path))
@@ -505,7 +533,8 @@ def export_compiled_program(
             "bytes": len(blob),
         }
     core_npz = None
-    if "observe" in entries or "predict_core" in entries:
+    if any(e in entries for e in
+           ("observe", "predict_core", "sample_core", "sample_joint_core")):
         core_npz = apath + ".core.npz"
         np.savez(core_npz, **{f: np.asarray(v)
                               for f, v in state.core._asdict().items()})
@@ -898,7 +927,10 @@ def _serve_exe(args) -> None:
 
     entry = "mean"
     if args.sample:
-        entry = "sample_joint" if args.joint else "sample"
+        if core is not None:  # draws from the observe-updated posterior
+            entry = "sample_joint_core" if args.joint else "sample_core"
+        else:
+            entry = "sample_joint" if args.joint else "sample"
     elif core is not None:
         entry = "predict_core"
     elif args.var:
@@ -918,8 +950,11 @@ def _serve_exe(args) -> None:
             out["posterior_var"] = [round(float(v0), 6)
                                     for v0 in np.asarray(var)]
     elif args.sample:
-        y = np.asarray(exp.call(d, q, jnp.int32(args.seed),
-                                jnp.zeros((args.sample,), jnp.int32)))
+        call_args = (d, q, jnp.int32(args.seed),
+                     jnp.zeros((args.sample,), jnp.int32))
+        if core is not None:
+            call_args = (core, *call_args)
+        y = np.asarray(exp.call(*call_args))
         rows = [y[i] for i in range(len(pairs))]  # one panel row per cell
         out["samples_per_request"] = args.sample
         if args.joint:
@@ -1044,7 +1079,9 @@ def main(argv=None):
     p.add_argument("--core", default=None, metavar="NPZ",
                    help="--exe: serve from this (previously observe-updated) "
                         "posterior core instead of the exported initial one "
-                        "(the predict_core entry; --var reports variances)")
+                        "— means/variances via the predict_core entry, "
+                        "posterior draws via --sample K [--joint] (the "
+                        "sample_core entries)")
     p.add_argument("--save_core", default=None, metavar="NPZ",
                    help="--exe --observe: write the updated posterior core "
                         "here (feed back via --core)")
@@ -1070,12 +1107,6 @@ def main(argv=None):
             raise SystemExit("serve: --exe needs --requests (or --observe)")
         if args.joint and not args.sample:
             raise SystemExit("serve: --joint modifies --sample; pass --sample K")
-        if args.sample and (args.observe or args.core):
-            raise SystemExit(
-                "serve: the sample entries bake the EXPORTED core; an "
-                "updated core answers means/variances via predict_core — "
-                "re-export after folding (--state path) to sample from it"
-            )
         if args.sample and args.var:
             raise SystemExit(
                 "serve: --sample decodes posterior draws; --var reports the "

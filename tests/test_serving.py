@@ -841,7 +841,8 @@ def test_export_full_serving_surface(tmp_path, capsys, trained):
     exe = str(tmp_path / "full.exe")
     meta = export_compiled_program(model, state, exe)
     assert set(meta["entry_points"]) == {
-        "mean", "var", "sample", "sample_joint", "observe", "predict_core"
+        "mean", "var", "sample", "sample_joint", "observe", "predict_core",
+        "sample_core", "sample_joint_core",
     }
     assert meta["format"] == "jax.export.v2"
 
@@ -999,10 +1000,32 @@ def test_serve_exe_stateful_cli(tmp_path, capsys, trained):
     np.testing.assert_allclose(rec["posterior_var"], np.asarray(v_ref),
                                rtol=1e-4)
 
-    # guard rails: sampling from an updated core needs a re-export
-    with pytest.raises(SystemExit, match="re-export"):
-        serve_main(["--exe", exe, "--core", core2, "--requests", "1:0",
-                    "--sample", "2"])
+    # sampling from the UPDATED core, straight from the blobs: the
+    # sample_core entry must reproduce the package path's draws on the
+    # same core + seed (identical PRNG stream; fp tolerance for the two
+    # independently compiled programs)
+    serve_main(["--exe", exe, "--core", core2, "--requests", "1:0,3:2",
+                "--sample", "2", "--seed", "7",
+                "--outdir", str(tmp_path / "sc")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["entry"] == "sample_core" and rec["samples_per_request"] == 2
+    from gppvae_tpu.eval.serving import sample_images
+
+    y_sref = sample_images(res.model, ref_state, d, q,
+                           jax.random.PRNGKey(7), 2)
+    with np.load(tmp_path / "sc" / "served.npz") as f:
+        np.testing.assert_allclose(f["images"], np.asarray(y_sref),
+                                   atol=1e-4)
+
+    # joint draws from the updated core: coherent scenes over the batch
+    serve_main(["--exe", exe, "--core", core2, "--requests", "1:0,3:2",
+                "--sample", "2", "--joint", "--seed", "7",
+                "--outdir", str(tmp_path / "sjc")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["entry"] == "sample_joint_core" and rec["joint"] is True
+    with np.load(tmp_path / "sjc" / "served.npz") as f:
+        assert f["images"].shape == (2, 2, *ds.image_shape)
+
     with pytest.raises(SystemExit, match="save_core"):
         serve_main(["--exe", exe, "--observe", obs])
 

@@ -100,8 +100,10 @@ def test_serving_fold_and_throughput_on_tpu():
 
     with tempfile.TemporaryDirectory() as td:
         exe = f"{td}/m.exe"
-        export_compiled_program(res.model, state, exe,
-                                entry_points=("mean", "sample_joint"))
+        export_compiled_program(
+            res.model, state, exe,
+            entry_points=("mean", "sample_joint", "observe", "sample_core"),
+        )
         exp, _ = load_compiled_program(exe)
         np.testing.assert_allclose(
             np.asarray(exp.call(d, q)), np.asarray(served(state, d, q)),
@@ -118,3 +120,23 @@ def test_serving_fold_and_throughput_on_tpu():
         # (test_export_full_serving_surface); this asserts bf16-scale parity
         np.testing.assert_allclose(y_exe, y_ref, atol=8e-3)
         assert np.isfinite(y_exe).all()
+
+        # stateful sampling from an observe-updated core, blobs alone
+        # (round-5 second session): fold two fresh rows with the observe
+        # entry, then draw from the sharpened posterior via sample_core —
+        # must match the live observe()+sample_images() path at bf16 scale
+        exp_obs, _ = load_compiled_program(exe, entry="observe")
+        core0, _ = load_compiled_program(exe, entry="core")
+        imgs_new = jnp.asarray(ds.images[ds.heldout_idx[:2]])
+        d_new = jnp.asarray(ds.object_ids[ds.heldout_idx[:2]])
+        q_new = jnp.asarray(ds.view_ids[ds.heldout_idx[:2]])
+        core2 = exp_obs.call(core0, imgs_new, d_new, q_new,
+                             jnp.ones((2,), jnp.float32))
+        exp_sc, _ = load_compiled_program(exe, entry="sample_core")
+        y_sc = np.asarray(exp_sc.call(core2, d[:2], q[:2], jnp.int32(5),
+                                      jnp.zeros((3,), jnp.int32)))
+        st2 = observe(res.model, state, imgs_new, d_new, q_new)
+        y_live = np.asarray(sample_images(res.model, st2, d[:2], q[:2],
+                                          jax.random.PRNGKey(5), 3))
+        np.testing.assert_allclose(y_sc, y_live, atol=8e-3)
+        assert np.isfinite(y_sc).all()
