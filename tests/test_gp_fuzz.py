@@ -88,3 +88,53 @@ def test_spike_guard_matches_optax_fuzz(seed, log_mag, clip):
         for a, b in zip(jax.tree.leaves(gu), jax.tree.leaves(ru)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(gs["notfinite_count"]) == 0
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(
+    n=st.integers(6, 80),
+    n_new=st.integers(2, 40),
+    r=st.integers(1, 16),
+    n_parts=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_extend_posterior_core_partition_invariant_fuzz(
+    n, n_new, r, n_parts, seed
+):
+    """Streaming conditioning must be PARTITION-invariant: folding the new
+    rows in any split (one batch, row-by-row, ragged chunks — whatever a
+    deployment's observation stream delivers) lands on the same posterior
+    as one factorization over the union. The fixed tests pin one/two
+    composed updates; this fuzzes random ragged partitions in f64."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    V = jax.random.normal(ks[0], (n, r), jnp.float64)
+    Z = jax.random.normal(ks[1], (n, 3), jnp.float64)
+    V_new = jax.random.normal(ks[2], (n_new, r), jnp.float64)
+    Z_new = jax.random.normal(ks[3], (n_new, 3), jnp.float64)
+    vs, vn = jnp.float64(0.8), jnp.float64(0.3)
+
+    core = gp.posterior_core(gp.factorize(V, vs, vn), Z)
+    # random ragged partition of the new rows into n_parts chunks
+    rng = np.random.default_rng(seed)
+    cuts = np.sort(rng.choice(np.arange(1, n_new),
+                              size=min(n_parts - 1, n_new - 1),
+                              replace=False)) if n_parts > 1 else []
+    streamed = core
+    for lo, hi in zip([0, *cuts], [*cuts, n_new]):
+        streamed = gp.extend_posterior_core(
+            streamed, V_new[lo:hi], vs, Z_new[lo:hi]
+        )
+
+    oneshot = gp.posterior_core(
+        gp.factorize(jnp.concatenate([V, V_new]), vs, vn),
+        jnp.concatenate([Z, Z_new]),
+    )
+    np.testing.assert_allclose(streamed.M, oneshot.M, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(streamed.G, oneshot.G, rtol=1e-9, atol=1e-12)
+    # predictive surface agrees too (mean and variance)
+    V_star = jax.random.normal(jax.random.PRNGKey(seed + 1), (4, r),
+                               jnp.float64)
+    m1, v1 = gp.predict_from_core(V_star, streamed, vs, return_var=True)
+    m2, v2 = gp.predict_from_core(V_star, oneshot, vs, return_var=True)
+    np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(v1, v2, rtol=1e-9, atol=1e-12)
