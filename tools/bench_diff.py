@@ -98,11 +98,16 @@ def _cfgs(art: dict) -> dict:
 
 
 def _serving_identity(row: dict) -> tuple | None:
-    """(sha, dtype, batch) when the row carries a serving identity."""
+    """(sha, dtype, batch) when the row carries a serving identity.
+
+    The batch rides as `serving_batch` on face rows and `batch` on the
+    oos_serving row — fall through so two rows at different batches can
+    never read as same-identity just because the preferred key is absent."""
     sha = row.get("serving_program_sha1")
     if sha is None:
         return None
-    return (sha, row.get("model_dtype"), row.get("serving_batch"))
+    return (sha, row.get("model_dtype"),
+            row.get("serving_batch", row.get("batch")))
 
 
 def diff(old: dict, new: dict, drift: float = DEFAULT_DRIFT) -> dict:
