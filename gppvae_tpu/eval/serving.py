@@ -883,6 +883,123 @@ def _sustained_throughput(call, d, q, P: int, Q: int, k: int) -> dict:
     }
 
 
+def _serve_exe_stdin_loop(args, lines=None) -> None:
+    """Persistent ONLINE serving from the BLOBS alone (`serve --exe
+    --stdin`) — the zero-package-code counterpart of the --state loop.
+    Commands per input line, one JSON response line each, EOF ends:
+
+        d:q,d:q,…         answer a request batch from the CURRENT core
+                          (predict_core entry: means + variances)
+        observe <npz>     fold new observed images into the core
+                          (observe entry — streaming conditioning)
+        save <path>       persist the current core as a plain npz
+                          (reloadable via --core / np.load)
+
+    Same fixed-batch discipline as the --state loop: a deserialized
+    jax.export program is shape-POLYMORPHIC in its StableHLO but still
+    compiles one executable per CONCRETE batch size at call time, so a
+    varying-length stream would recompile per new length (~30-60 s each
+    through the relay). Every line is padded (and chunked past
+    --max_batch) to ONE size per command kind; predict_core's pad rows
+    are valid (0:0) cells sliced off the reply, observe's pad rows are
+    dropped exactly by the mask argument. `lines` overrides sys.stdin
+    for tests."""
+    import json
+    import os
+    import sys
+    import time
+
+    import numpy as np
+
+    B = int(args.max_batch)
+    if B < 1:
+        raise SystemExit("serve: --max_batch must be >= 1")
+    exp_pc, meta = load_compiled_program(args.exe, entry="predict_core")
+    if args.core:
+        with np.load(args.core) as f:
+            core = gp.PosteriorCore(**{k: jnp.asarray(f[k]) for k in f.files})
+    else:
+        core, _ = load_compiled_program(args.exe, entry="core")
+    P, Q = meta["grid"]
+    zeros = jnp.zeros((B,), jnp.int32)
+    jax.block_until_ready(exp_pc.call(core, zeros, zeros))  # the ONE compile
+    exp_obs = None  # observe blob loads+compiles on the first observe line
+    os.makedirs(args.outdir, exist_ok=True)
+    print(json.dumps({"ready": True, "grid": [P, Q], "max_batch": B,
+                      "exe": args.exe,
+                      "commands": ["d:q,…", "observe <npz>", "save <path>"]}),
+          flush=True)
+
+    def _observe_line(k: int, path: str) -> None:
+        nonlocal core, exp_obs
+        if exp_obs is None:
+            exp_obs = load_compiled_program(args.exe, entry="observe")[0]
+        imgs, dd, qq = _load_observation_npz(path, P, Q, meta["image_shape"])
+        n = imgs.shape[0]
+        t0 = time.perf_counter()
+        for s0 in range(0, n, B):
+            chunk = slice(s0, min(s0 + B, n))
+            m = chunk.stop - chunk.start
+            ib = np.zeros((B, *meta["image_shape"]), np.float32)
+            db = np.zeros((B,), np.int32)
+            qb = np.zeros((B,), np.int32)
+            mask = np.zeros((B,), np.float32)
+            ib[:m], db[:m], qb[:m], mask[:m] = imgs[chunk], dd[chunk], qq[chunk], 1.0
+            core = exp_obs.call(core, jnp.asarray(ib), jnp.asarray(db),
+                                jnp.asarray(qb), jnp.asarray(mask))
+        jax.block_until_ready(core.M)
+        print(json.dumps({
+            "line": k, "observed": int(n),
+            "fold_s": round(time.perf_counter() - t0, 5),
+        }), flush=True)
+
+    for k, line in enumerate(lines if lines is not None else sys.stdin):
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("observe ") or line.startswith("save "):
+            try:
+                if line.startswith("observe "):
+                    _observe_line(k, line[len("observe "):].strip())
+                else:
+                    path = line[len("save "):].strip()
+                    np.savez(path, **{f: np.asarray(v)
+                                      for f, v in core._asdict().items()})
+                    print(json.dumps({"line": k, "saved": path}), flush=True)
+            except (ValueError, OSError) as e:
+                print(json.dumps({"line": k, "error": str(e)}), flush=True)
+            continue
+        try:
+            pairs = _parse_requests(line, P, Q)
+        except ValueError as e:
+            print(json.dumps({"line": k, "error": str(e)}), flush=True)
+            continue
+        t0 = time.perf_counter()
+        d_all = np.fromiter((r[0] for r in pairs), np.int32)
+        q_all = np.fromiter((r[1] for r in pairs), np.int32)
+        imgs, var = [], []
+        for s0 in range(0, len(pairs), B):
+            dd = np.zeros((B,), np.int32)
+            qq = np.zeros((B,), np.int32)
+            chunk = slice(s0, min(s0 + B, len(pairs)))
+            n = chunk.stop - chunk.start
+            dd[:n], qq[:n] = d_all[chunk], q_all[chunk]
+            y, v = exp_pc.call(core, jnp.asarray(dd), jnp.asarray(qq))
+            imgs.append(np.asarray(y[:n]))
+            var.append(np.asarray(v[:n]))
+        y = np.concatenate(imgs, axis=0)
+        var = np.concatenate(var, axis=0)
+        npz = os.path.join(args.outdir, f"served_{k:04d}.npz")
+        np.savez_compressed(npz, images=y, objects=d_all, views=q_all,
+                            posterior_var=var)
+        print(json.dumps({
+            "line": k, "n_requests": len(pairs),
+            "latency_s": round(time.perf_counter() - t0, 5),
+            "posterior_var": [round(float(v0), 6) for v0 in var],
+            "npz": npz,
+        }), flush=True)
+
+
 def _serve_exe(args) -> None:
     """Answer --requests straight from a compiled-program artifact
     (`--export_exe` output): deserialize the requested entry point,
@@ -1027,7 +1144,9 @@ def main(argv=None):
     p.add_argument("--requests", default=None,
                    help="comma-separated object:view pairs, e.g. 3:2,5:0")
     p.add_argument("--stdin", action="store_true",
-                   help="persistent ONLINE serving loop: one command per "
+                   help="persistent ONLINE serving loop (--state or --exe; "
+                        "the --exe loop runs from the blobs alone via the "
+                        "predict_core/observe entries): one command per "
                         "stdin line — 'd:q,d:q,…' answers a request batch "
                         "(JSON line + .npz under --outdir), 'observe "
                         "<npz>' folds new observed images into the "
@@ -1094,10 +1213,18 @@ def main(argv=None):
     if (args.state is None) == (args.exe is None):
         raise SystemExit("serve: pass exactly one of --state or --exe")
     if args.exe:
-        if args.stdin or args.export_exe:
-            raise SystemExit(
-                "serve: --stdin/--export_exe need --state"
-            )
+        if args.export_exe:
+            raise SystemExit("serve: --export_exe needs --state")
+        if args.stdin:
+            if args.requests or args.sample or args.repeat \
+                    or args.sustained or args.var or args.observe:
+                raise SystemExit(
+                    "serve: --exe --stdin is a persistent loop (requests "
+                    "and 'observe <npz>' are input LINES); drop the other "
+                    "flags"
+                )
+            _serve_exe_stdin_loop(args)
+            return
         if args.observe and args.save_core is None:
             raise SystemExit(
                 "serve: --exe --observe needs --save_core for the updated "

@@ -1056,6 +1056,82 @@ def test_serve_exe_stateful_cli(tmp_path, capsys, trained):
             serve_main(["--exe", exe, "--requests", "1:0", *extra])
 
 
+def test_serve_exe_stdin_loop(tmp_path, capsys, trained):
+    """Persistent serving loop from the BLOBS alone (`serve --exe
+    --stdin`): request lines answer from the current core via the
+    predict_core entry (padded/chunked to ONE compiled batch size),
+    'observe <npz>' folds through the observe entry and subsequent
+    requests see the sharpened posterior, 'save <path>' persists a core
+    reloadable via --core. Answers must match the package path on the
+    same stream."""
+    import argparse
+    import json
+
+    from gppvae_tpu.eval.serving import (
+        _serve_exe_stdin_loop,
+        export_compiled_program,
+        main as serve_main,
+        observe,
+    )
+
+    ds, res = trained
+    images_tr, d_tr, q_tr, d_ho, q_ho, y_ho = _arrays(ds)
+    state = build_server_state(
+        res.model, res.params, res.fixed_W, images_tr, d_tr, q_tr
+    )
+    exe = str(tmp_path / "loop.exe")
+    export_compiled_program(res.model, state, exe,
+                            entry_points=("predict_core", "observe"))
+
+    n_new = 2
+    obs = str(tmp_path / "obs.npz")
+    np.savez(obs, images=np.asarray(y_ho[:n_new]),
+             objects=np.asarray(d_ho[:n_new]), views=np.asarray(q_ho[:n_new]))
+    saved_core = str(tmp_path / "loop_core.npz")
+    args = argparse.Namespace(max_batch=4, outdir=str(tmp_path / "loop"),
+                              exe=exe, core=None)
+    lines = [
+        "1:2,3:0",                    # before conditioning
+        "99:0",                       # out of grid → error, loop survives
+        f"observe {obs}",
+        "1:2,3:0,0:1,2:2,1:1",        # 5 > max_batch → two chunks
+        f"save {saved_core}",
+    ]
+    _serve_exe_stdin_loop(args, lines=lines)
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["ready"] is True and out[0]["max_batch"] == 4
+    err = [r for r in out[1:] if "error" in r]
+    assert len(err) == 1 and "outside" in err[0]["error"]
+    folds = [r for r in out[1:] if "observed" in r]
+    assert len(folds) == 1 and folds[0]["observed"] == n_new
+    saves = [r for r in out[1:] if "saved" in r]
+    assert saves[0]["saved"] == saved_core
+    reqs = [r for r in out[1:] if "n_requests" in r]
+    assert [r["n_requests"] for r in reqs] == [2, 5]
+
+    # post-observe answers match the package path on the same stream
+    st2 = observe(res.model, state, y_ho[:n_new], d_ho[:n_new], q_ho[:n_new])
+    d5 = jnp.asarray([1, 3, 0, 2, 1], jnp.int32)
+    q5 = jnp.asarray([2, 0, 1, 2, 1], jnp.int32)
+    y_ref, v_ref = predict_images(res.model, st2, d5, q5, return_var=True)
+    with np.load(reqs[1]["npz"]) as f:
+        np.testing.assert_allclose(f["images"], np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(f["posterior_var"], np.asarray(v_ref),
+                                   rtol=1e-4)
+
+    # the saved core reloads via --core and answers identically
+    serve_main(["--exe", exe, "--core", saved_core, "--requests",
+                "1:2,3:0,0:1,2:2,1:1", "--var",
+                "--outdir", str(tmp_path / "reload")])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    np.testing.assert_allclose(rec["posterior_var"], np.asarray(v_ref),
+                               rtol=1e-4)
+
+    # contradictory flags are errors
+    with pytest.raises(SystemExit, match="persistent loop"):
+        serve_main(["--exe", exe, "--stdin", "--requests", "1:0"])
+
+
 def test_sample_images_decode_chunked_matches_single_forward(trained):
     """Round-4 VERDICT Weak #3: a joint K-sample over an n-request batch
     used to decode n·K rows in ONE decoder forward — an OOM/latency cliff
